@@ -1,0 +1,300 @@
+"""Self-supervision sampler: masked-graph view, negative queue, egonet builder.
+
+Re-implements the semantics of the reference's `MaskedGraphDataset`
+(data_loader/dataset.py:206-437) over CSR arrays instead of networkx:
+
+- working graph = induced subgraph on {train} / {train+val} / {train+test}
+  node ids (dataset.py:232-240), with query in-edges removed afterwards to
+  prevent leakage (dataset.py:261-271);
+- query list = mode's node ids minus the working graph's roots
+  (dataset.py:242-245);
+- masks[n] = descendants(n) ∪ parents(n) ∪ {n} ∪ roots — positions never
+  usable as negative anchors for query n (dataset.py:247-259);
+- negative sampling via a shuffled 5x-replicated train-id queue with a walking
+  pointer: "at most k" (window filter, dataset.py:340-355) for sampling_mode 0
+  and "exactly k" (refill loop, dataset.py:357-381) for sampling_mode 1;
+- positives round-robin over a query's true parents (dataset.py:308-313);
+- egonets are stars: all grandparents + anchor + <=expand_factor sampled
+  children (with replacement, like `random.choices`, dataset.py:416-424);
+  positive egonets exclude the query itself from the siblings;
+- negative egonets are cached per anchor and refreshed after
+  `cache_refresh_time` reuses; positive egonets are never cached
+  (dataset.py:391-401).
+
+Deviation from the reference (documented in SURVEY.md §7): when an anchor has
+more parents than `max_parents` (static shape cap), we keep the first
+`max_parents` of them instead of all — the reference has no cap because DGL
+graphs are dynamic. With the default cap (auto = data max, bounded by 64) this
+never triggers on MAG-CS-like taxonomies.
+"""
+from __future__ import annotations
+
+import random
+from collections import deque
+
+import numpy as np
+
+from .taxonomy import Taxonomy, build_csr
+
+Egonet = tuple[list[int], int, list[int]]
+
+
+class MaskedGraphSampler:
+    def __init__(self,
+                 taxonomy: Taxonomy,
+                 mode: str = "train",
+                 sampling_mode: int = 1,
+                 negative_size: int = 32,
+                 expand_factor: int = 64,
+                 cache_refresh_time: int = 128,
+                 normalize_embed: bool = False,
+                 test_topk: int = -1,
+                 max_parents: int | str = "auto",
+                 seed: int = 0):
+        if mode not in ("train", "validation", "test"):
+            raise ValueError("mode must be one of train, validation, test")
+        if sampling_mode not in (0, 1):
+            raise ValueError("sampling_mode must be 0 or 1")
+        if mode == "test" and sampling_mode != 0:
+            raise ValueError("test mode requires sampling_mode=0 "
+                             "(emit all positive true parents)")
+
+        self.taxonomy = taxonomy
+        self.mode = mode
+        self.sampling_mode = sampling_mode
+        self.negative_size = negative_size
+        self.expand_factor = expand_factor
+        self.cache_refresh_time = cache_refresh_time
+        self.test_topk = test_topk
+        self.rng = random.Random(seed)
+
+        self.node_features = np.asarray(taxonomy.features, dtype=np.float32)
+        if normalize_embed:
+            norms = np.linalg.norm(self.node_features, axis=1, keepdims=True)
+            self.node_features = self.node_features / np.maximum(norms, 1e-12)
+
+        train_ids = list(taxonomy.train_node_ids)
+        if mode == "train":
+            allowed = train_ids
+            query_ids = train_ids
+        elif mode == "validation":
+            allowed = train_ids + list(taxonomy.validation_node_ids)
+            query_ids = list(taxonomy.validation_node_ids)
+        else:
+            allowed = train_ids + list(taxonomy.test_node_ids)
+            query_ids = list(taxonomy.test_node_ids)
+        allowed_set = set(allowed)
+        v = taxonomy.num_nodes
+
+        # induced subgraph edges (dataset.py:232-240)
+        e = taxonomy.edges
+        keep = np.fromiter((int(p) in allowed_set and int(c) in allowed_set
+                            for p, c in e), dtype=bool, count=len(e))
+        sub_edges = e[keep]
+
+        # roots = in-degree-0 allowed nodes, computed BEFORE leak-edge removal
+        # (dataset.py:243 precedes :261)
+        in_deg = np.bincount(sub_edges[:, 1], minlength=v)
+        self.roots = [n for n in allowed if in_deg[n] == 0]
+        roots_set = set(self.roots)
+        self.node_list = [n for n in query_ids if n not in roots_set]
+
+        # node2parents from the PRE-removal graph (dataset.py:252-254): val/test
+        # queries keep their true parents as positives.
+        pre_parents = build_csr(v, sub_edges[:, 1], sub_edges[:, 0])
+        self.node2parents = {n: pre_parents.neighbors(n).tolist() for n in allowed}
+        self._positive_pointer = {n: 0 for n in allowed}
+
+        # leak prevention: drop in-edges of val/test queries (dataset.py:261-271)
+        if mode in ("validation", "test"):
+            qset = set(query_ids)
+            keep2 = np.fromiter((int(c) not in qset for c in sub_edges[:, 1]),
+                                dtype=bool, count=len(sub_edges))
+            work_edges = sub_edges[keep2]
+        else:
+            work_edges = sub_edges
+        self.work_edges = work_edges
+        self.children = build_csr(v, work_edges[:, 0], work_edges[:, 1])
+        self.parents = build_csr(v, work_edges[:, 1], work_edges[:, 0])
+
+        # masks per query: descendants ∪ parents ∪ self ∪ roots
+        # (pre-removal graph, dataset.py:255-259)
+        pre_children = build_csr(v, sub_edges[:, 0], sub_edges[:, 1])
+        self.node2masks: dict[int, set[int]] = {}
+        for n in self.node_list:
+            desc = _descendants(pre_children, n)
+            self.node2masks[n] = desc | set(self.node2parents[n]) | {n} | roots_set
+
+        self.all_positions = set(train_ids)  # dataset.py:251
+        self.candidate_positions = sorted(self.all_positions)
+
+        # negative queue (dataset.py:277-279)
+        self.pointer = 0
+        self.queue = list(train_ids) * 5
+
+        # egonet cache for negatives (dataset.py:273-275)
+        self._cache: dict[int, Egonet] = {}
+        self._cache_counter: dict[int, int] = {}
+
+        # static shape cap for grandparent slots
+        data_max_parents = int(self.parents.degrees().max()) if len(work_edges) else 1
+        if max_parents == "auto":
+            self.max_parents = max(1, min(data_max_parents, 64))
+        else:
+            self.max_parents = int(max_parents)
+
+        # max positives per query (static validation/test group layout)
+        self.max_query_parents = max(
+            (len(self.node2parents[n]) for n in self.node_list), default=1)
+
+    # ------------------------------------------------------------------ sizes
+    def __len__(self) -> int:
+        return len(self.node_list)
+
+    # -------------------------------------------------------------- negatives
+    def _get_at_most_k_negatives(self, query: int, k: int) -> list[int]:
+        """Window of k queue entries, masked entries dropped (dataset.py:340-355)."""
+        if self.pointer == 0:
+            self.rng.shuffle(self.queue)
+        masks = self.node2masks[query]
+        while True:
+            negatives = [x for x in self.queue[self.pointer:self.pointer + k]
+                         if x not in masks]
+            if negatives:
+                break
+            self.pointer += k
+            if self.pointer >= len(self.queue):
+                self.pointer = 0
+                self.rng.shuffle(self.queue)
+        self.pointer += k
+        if self.pointer >= len(self.queue):
+            self.pointer = 0
+        return negatives
+
+    def _get_exactly_k_negatives(self, query: int, k: int) -> list[int]:
+        """Refill until exactly k unmasked negatives (dataset.py:357-381)."""
+        if self.pointer == 0:
+            self.rng.shuffle(self.queue)
+        masks = self.node2masks[query]
+        negatives: list[int] = []
+        max_try = 0
+        while len(negatives) != k:
+            n_lack = k - len(negatives)
+            negatives.extend(x for x in self.queue[self.pointer:self.pointer + n_lack]
+                             if x not in masks)
+            self.pointer += n_lack
+            if self.pointer >= len(self.queue):
+                self.pointer = 0
+                self.rng.shuffle(self.queue)
+            max_try += 1
+            if max_try > 10:
+                if len(negatives) > k:
+                    negatives = negatives[:k]
+                else:
+                    negatives.extend(self.queue[:k - len(negatives)])
+        return negatives
+
+    def get_negatives(self, query: int, k: int) -> list[int]:
+        if self.sampling_mode == 0:
+            return self._get_at_most_k_negatives(query, k)
+        return self._get_exactly_k_negatives(query, k)
+
+    def eval_negatives(self, query: int) -> list[int]:
+        """All unmasked candidate positions, optionally retrieval-prefiltered
+        to test_topk by embedding cosine distance (dataset.py:319-325)."""
+        masks = self.node2masks[query]
+        pool = [p for p in self.candidate_positions if p not in masks]
+        if self.test_topk == -1:
+            return pool
+        feats = self.node_features
+        q = feats[query]
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        cand = feats[np.asarray(pool)]
+        cand = cand / np.maximum(np.linalg.norm(cand, axis=1, keepdims=True), 1e-12)
+        dist = 1.0 - cand @ qn
+        top = np.argsort(dist, kind="stable")[: self.test_topk]
+        return [pool[i] for i in top]
+
+    # ---------------------------------------------------------------- egonets
+    def build_egonet(self, query: int, anchor: int, positive: bool) -> Egonet:
+        """Star egonet (grandparents, anchor, siblings); dataset.py:404-437.
+
+        Sampling uses replacement when out-degree exceeds expand_factor,
+        matching `random.choices` (dataset.py:419,424).
+        """
+        gps = self.parents.neighbors(anchor).tolist()
+        if len(gps) > self.max_parents:
+            gps = gps[: self.max_parents]
+        children = self.children.neighbors(anchor)
+        if len(children) <= self.expand_factor:
+            sibs = children.tolist()
+        else:
+            sibs = self.rng.choices(children.tolist(), k=self.expand_factor)
+        if positive:
+            sibs = [s for s in sibs if s != query]
+        return (gps, anchor, sibs)
+
+    def get_egonet(self, query: int, anchor: int, positive: bool) -> Egonet:
+        """Cached for negatives (refresh after cache_refresh_time reuses),
+        always rebuilt for positives (dataset.py:383-402)."""
+        if not positive and anchor in self._cache and \
+                self._cache_counter[anchor] < self.cache_refresh_time:
+            self._cache_counter[anchor] += 1
+            return self._cache[anchor]
+        g = self.build_egonet(query, anchor, positive)
+        if not positive:
+            self._cache[anchor] = g
+            self._cache_counter[anchor] = 0
+        return g
+
+    def anchor_egonet(self, anchor: int) -> Egonet:
+        """Query-independent negative-style egonet, used by the eval engine to
+        encode every candidate position once (test_fast.py:96-97)."""
+        return self.build_egonet(-1, anchor, positive=False)
+
+    # ----------------------------------------------------------------- groups
+    def sample_group(self, query: int) -> tuple[list[Egonet], list[int], list[int]]:
+        """One training/eval group for `query`.
+
+        Returns (egonets, labels, anchors). sampling_mode 1: exactly one
+        positive (round-robin over parents) first, then exactly
+        `negative_size` negatives. sampling_mode 0: one positive per parent,
+        then at-most-k negatives (train/validation) or the full/prefiltered
+        candidate pool (test). Mirrors __getitem__ (dataset.py:290-332).
+        """
+        egonets: list[Egonet] = []
+        labels: list[int] = []
+        anchors: list[int] = []
+        parents = self.node2parents[query]
+        if self.sampling_mode == 0:
+            pos_parents = parents
+        else:
+            ptr = self._positive_pointer[query]
+            pos_parents = [parents[ptr]]
+            self._positive_pointer[query] = (ptr + 1) % len(parents)
+        for p in pos_parents:
+            egonets.append(self.get_egonet(query, p, positive=True))
+            labels.append(1)
+            anchors.append(p)
+        if self.mode in ("train", "validation"):
+            negatives = self.get_negatives(query, self.negative_size)
+        else:
+            negatives = self.eval_negatives(query)
+        for neg in negatives:
+            egonets.append(self.get_egonet(query, neg, positive=False))
+            labels.append(0)
+            anchors.append(neg)
+        return egonets, labels, anchors
+
+
+def _descendants(children_csr, node: int) -> set[int]:
+    """Iterative BFS replacement for nx.descendants (dataset.py:257)."""
+    seen: set[int] = set()
+    dq = deque(children_csr.neighbors(node).tolist())
+    while dq:
+        n = dq.popleft()
+        if n in seen:
+            continue
+        seen.add(n)
+        dq.extend(c for c in children_csr.neighbors(n).tolist() if c not in seen)
+    return seen
