@@ -1,0 +1,240 @@
+"""Graph propagation encoders: GCN, GAT, and position-enhanced PGCN, PGAT.
+
+Functional re-designs of model/model_zoo.py:13-220 over star ego-batches
+([B, N, D] slot arrays, see ops/star.py). Each encoder is (init, apply):
+params are plain dict pytrees; `apply` is pure and jit-safe, with dropout
+driven by explicit rng keys and a static `train` flag.
+
+Exact math parity preserved:
+- GCN: symmetric deg^-1/2 normalization applied before AND after the
+  copy-src-sum, bias then activation (model_zoo.py:34-50); inf norms (isolated
+  padded slots) become 0 (model_zoo.py:130-134).
+- GAT: fc -> per-head a1/a2 dot products -> leaky_relu(a1[src]+a2[dst]) ->
+  per-destination softmax -> attention dropout -> weighted aggregation
+  (model_zoo.py:80-114); hidden layers flatten their heads and apply the
+  activation, the output layer averages heads (model_zoo.py:183-190).
+- P-variants concatenate a per-layer position embedding (vocab 3: grandparent
+  / anchor-parent / sibling) to every layer input (model_zoo.py:139-167,
+  192-220).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import star
+from .init import dropout, embedding_params, uniform, xavier_normal
+
+LEAKY_ALPHA = 0.2  # GATLayer default (model_zoo.py:53) and F.leaky_relu's 0.01
+                   # is NOT used: TaxoExpan passes F.leaky_relu as stack
+                   # activation (model/model.py:24-41) with torch default 0.01.
+
+
+def leaky_relu(x, alpha=0.01):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+# ----------------------------------------------------------------- GCN layers
+
+def init_gcn_layer(key, in_f: int, out_f: int, bias: bool = True):
+    """U(-stdv, stdv), stdv = 1/sqrt(out_f) (model_zoo.py:28-32)."""
+    kw, kb = jax.random.split(key)
+    stdv = 1.0 / jnp.sqrt(jnp.asarray(out_f, jnp.float32))
+    p = {"w": uniform(kw, (in_f, out_f), stdv)}
+    if bias:
+        p["b"] = uniform(kb, (out_f,), stdv)
+    return p
+
+
+def apply_gcn_layer(params, h, norm, ngp, nsib, p_slots: int, *,
+                    activation, drop_rate: float, rng, train: bool):
+    """One GCNLayer forward (model_zoo.py:34-50). h: [B, N, Din]."""
+    if drop_rate:
+        h = dropout(rng, h, drop_rate, train)
+    h = h @ params["w"]
+    h = h * norm
+    h = star.copy_src_sum(h, ngp, nsib, p_slots)
+    h = h * norm
+    if "b" in params:
+        h = h + params["b"]
+    if activation is not None:
+        h = activation(h)
+    return h
+
+
+# ----------------------------------------------------------------- GAT layers
+
+def init_gat_layer(key, in_dim: int, out_dim: int, num_heads: int,
+                   residual: bool = False):
+    """xavier_normal(gain=1.414) for fc / attn_l / attn_r (model_zoo.py:65-69)."""
+    kfc, kl, kr, kres = jax.random.split(key, 4)
+    p = {
+        "fc": xavier_normal(kfc, (in_dim, num_heads * out_dim),
+                            fan_in=in_dim, fan_out=num_heads * out_dim),
+        # torch shape (1, H, D'): fan_in = H*D', fan_out = D'
+        "attn_l": xavier_normal(kl, (num_heads, out_dim),
+                                fan_in=num_heads * out_dim, fan_out=out_dim),
+        "attn_r": xavier_normal(kr, (num_heads, out_dim),
+                                fan_in=num_heads * out_dim, fan_out=out_dim),
+    }
+    if residual and in_dim != out_dim:
+        p["res_fc"] = xavier_normal(kres, (in_dim, num_heads * out_dim),
+                                    fan_in=in_dim, fan_out=num_heads * out_dim)
+    return p
+
+
+def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
+                    feat_drop: float, attn_drop: float, rng, train: bool,
+                    residual: bool = False):
+    """One GATLayer forward (model_zoo.py:80-104). h: [B, N, Din] ->
+    [B, N, H, Dh]."""
+    k_feat, k_attn = jax.random.split(rng)
+    if feat_drop:
+        h = dropout(k_feat, h, feat_drop, train)
+    b, n, _ = h.shape
+    ft = (h @ params["fc"]).reshape(b, n, num_heads, -1)
+    a1 = (ft * params["attn_l"]).sum(-1)   # [B, N, H]
+    a2 = (ft * params["attn_r"]).sum(-1)
+    ret = star.gat_attention_aggregate(
+        ft, a1, a2, ngp, nsib, p_slots,
+        leaky_alpha=LEAKY_ALPHA,
+        attn_drop=attn_drop if train else 0.0,
+        rng=k_attn)
+    if residual:
+        if "res_fc" in params:
+            resval = (h @ params["res_fc"]).reshape(b, n, num_heads, -1)
+        else:
+            resval = h[:, :, None, :]
+        ret = resval + ret
+    return ret
+
+
+# ------------------------------------------------------------------- encoders
+
+class GCN:
+    """GCN stack (model_zoo.py:116-137); PGCN when pos_dim > 0
+    (model_zoo.py:139-167)."""
+
+    def __init__(self, in_dim, hidden_dim, out_dim, num_layers,
+                 pos_dim: int = 0, activation=leaky_relu,
+                 in_dropout=0.1, hidden_dropout=0.1, output_dropout=0.0,
+                 position_vocab_size: int = 3):
+        self.pos_dim = pos_dim
+        self.activation = activation
+        dims = ([(in_dim + pos_dim, hidden_dim, activation, in_dropout)] +
+                [(hidden_dim + pos_dim, hidden_dim, activation, hidden_dropout)
+                 for _ in range(num_layers - 1)] +
+                [(hidden_dim + pos_dim, out_dim, None, output_dropout)])
+        self.layer_specs = dims
+        self.position_vocab_size = position_vocab_size
+        self.out_dim = out_dim
+
+    def init(self, key):
+        keys = jax.random.split(key, 2 * len(self.layer_specs))
+        params = {"layers": [], "pos_emb": []}
+        for i, (din, dout, _act, _dr) in enumerate(self.layer_specs):
+            params["layers"].append(init_gcn_layer(keys[2 * i], din, dout))
+            if self.pos_dim:
+                params["pos_emb"].append(embedding_params(
+                    keys[2 * i + 1], self.position_vocab_size, self.pos_dim))
+        return params
+
+    def apply(self, params, h, ngp, nsib, p_slots: int, *, rng, train: bool):
+        b, n, _ = h.shape
+        deg = star.in_degrees(ngp, nsib, p_slots, n)
+        norm = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+        norm = norm[..., None]                                     # [B, N, 1]
+        if self.pos_dim:
+            slot_pos = jnp.asarray(
+                star_slot_positions(p_slots, n), dtype=jnp.int32)
+        keys = jax.random.split(rng, len(self.layer_specs))
+        for i, (_, _, act, drop_rate) in enumerate(self.layer_specs):
+            if self.pos_dim:
+                pe = params["pos_emb"][i]["emb"][slot_pos]          # [N, pos]
+                h = jnp.concatenate(
+                    [h, jnp.broadcast_to(pe, (b, n, self.pos_dim))], axis=-1)
+            h = apply_gcn_layer(params["layers"][i], h, norm, ngp, nsib,
+                                p_slots, activation=act, drop_rate=drop_rate,
+                                rng=keys[i], train=train)
+        return h
+
+
+class GAT:
+    """GAT stack (model_zoo.py:169-190); PGAT when pos_dim > 0
+    (model_zoo.py:192-220) — the paper's main model."""
+
+    def __init__(self, in_dim, hidden_dim, out_dim, num_layers, heads,
+                 pos_dim: int = 0, activation=leaky_relu,
+                 feat_drop=0.5, attn_drop=0.5, residual=False,
+                 position_vocab_size: int = 3):
+        if len(heads) != num_layers + 1:
+            raise ValueError(
+                f"heads must have num_layers+1 entries, got {heads} for "
+                f"num_layers={num_layers}")
+        self.num_layers = num_layers
+        self.heads = list(heads)
+        self.pos_dim = pos_dim
+        self.activation = activation
+        self.feat_drop = feat_drop
+        self.attn_drop = attn_drop
+        self.residual = residual
+        self.position_vocab_size = position_vocab_size
+        self.out_dim = out_dim
+        specs = [(in_dim + pos_dim, hidden_dim, heads[0], False)]
+        for l in range(1, num_layers):
+            specs.append((hidden_dim * heads[l - 1] + pos_dim, hidden_dim,
+                          heads[l], residual))
+        specs.append((hidden_dim * heads[-2] + pos_dim, out_dim, heads[-1],
+                      residual))
+        self.layer_specs = specs
+
+    def init(self, key):
+        keys = jax.random.split(key, 2 * len(self.layer_specs))
+        params = {"layers": [], "pos_emb": []}
+        for i, (din, dout, nh, res) in enumerate(self.layer_specs):
+            params["layers"].append(
+                init_gat_layer(keys[2 * i], din, dout, nh, residual=res))
+            if self.pos_dim:
+                params["pos_emb"].append(embedding_params(
+                    keys[2 * i + 1], self.position_vocab_size, self.pos_dim))
+        return params
+
+    def apply(self, params, h, ngp, nsib, p_slots: int, *, rng, train: bool):
+        b, n, _ = h.shape
+        if self.pos_dim:
+            slot_pos = jnp.asarray(
+                star_slot_positions(p_slots, n), dtype=jnp.int32)
+
+        def with_pos(x, i):
+            if not self.pos_dim:
+                return x
+            pe = params["pos_emb"][i]["emb"][slot_pos]
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(pe, (b, n, self.pos_dim))], axis=-1)
+
+        keys = jax.random.split(rng, len(self.layer_specs))
+        for l in range(self.num_layers):
+            _, dout, nh, res = self.layer_specs[l]
+            h = apply_gat_layer(params["layers"][l], with_pos(h, l), ngp, nsib,
+                                p_slots, num_heads=nh,
+                                feat_drop=self.feat_drop,
+                                attn_drop=self.attn_drop, rng=keys[l],
+                                train=train, residual=res)
+            h = h.reshape(b, n, -1)        # flatten heads (model_zoo.py:186)
+            h = self.activation(h)
+        _, dout, nh, res = self.layer_specs[-1]
+        h = apply_gat_layer(params["layers"][-1], with_pos(h, self.num_layers),
+                            ngp, nsib, p_slots, num_heads=nh,
+                            feat_drop=self.feat_drop,
+                            attn_drop=self.attn_drop, rng=keys[-1],
+                            train=train, residual=res)
+        return h.mean(axis=2)              # mean over heads (model_zoo.py:189)
+
+
+def star_slot_positions(p_slots: int, n: int):
+    """Static per-slot position codes (0 gp / 1 anchor / 2 sibling)."""
+    import numpy as np
+    pos = np.full((n,), 2, dtype=np.int32)
+    pos[:p_slots] = 0
+    pos[p_slots] = 1
+    return pos

@@ -1,0 +1,128 @@
+"""The TaxoExpan composite model: propagate -> readout -> match.
+
+Functional re-design of model/model.py:13-87. The model object holds only
+static configuration (hashable; safe to close over under jit); parameters are
+a plain dict pytree returned by `init`.
+
+Factory strings match the reference CLI/config surface:
+propagation_method ∈ {GCN, PGCN, GAT, PGAT}, readout_method ∈ {MR, WMR, CR},
+matching_method ∈ {MLP, LBM, BIM, NTN}. Matcher dims: l_dim = out_dim (x3 for
+CR), r_dim = in_dim (model/model.py:45-57). Invalid names raise immediately —
+fixing the reference's always-true `assert f"..."` bugs (model/model.py:43,58,67).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..data.egobatch import EgoBatch, GroupBatch
+from .matching import Matcher
+from .propagation import GAT, GCN, leaky_relu
+from .readout import Readout
+
+PROPAGATION_KINDS = ("GCN", "PGCN", "GAT", "PGAT")
+
+
+class TaxoExpan:
+    def __init__(self,
+                 propagation_method: str = "PGAT",
+                 readout_method: str = "WMR",
+                 matching_method: str = "BIM",
+                 *,
+                 in_dim: int,
+                 hidden_dim: int,
+                 out_dim: int,
+                 pos_dim: int = 0,
+                 num_layers: int = 1,
+                 heads: list[int] | None = None,
+                 feat_drop: float = 0.1,
+                 attn_drop: float = 0.1,
+                 hidden_drop: float = 0.1,
+                 out_drop: float = 0.1,
+                 max_parents: int = 8,
+                 expand_factor: int = 50):
+        if propagation_method not in PROPAGATION_KINDS:
+            raise ValueError(
+                f"Unacceptable Graph Propagation Method: {propagation_method}")
+        self.propagation_method = propagation_method
+        self.readout_method = readout_method
+        self.matching_method = matching_method
+        self.in_dim = in_dim
+        self.max_parents = max_parents
+        self.expand_factor = expand_factor
+        self.num_slots = max_parents + 1 + expand_factor
+
+        pos_dim_eff = pos_dim if propagation_method in ("PGCN", "PGAT") else 0
+        if propagation_method in ("GCN", "PGCN"):
+            self.propagate = GCN(in_dim, hidden_dim, out_dim, num_layers,
+                                 pos_dim=pos_dim_eff, activation=leaky_relu,
+                                 in_dropout=feat_drop,
+                                 hidden_dropout=hidden_drop,
+                                 output_dropout=out_drop)
+        else:
+            if heads is None:
+                raise ValueError("GAT/PGAT require a heads list")
+            self.propagate = GAT(in_dim, hidden_dim, out_dim, num_layers,
+                                 heads, pos_dim=pos_dim_eff,
+                                 activation=leaky_relu, feat_drop=feat_drop,
+                                 attn_drop=attn_drop)
+
+        self.readout = Readout(readout_method, out_dim)
+        # l_dim from readout (x3 for CR), r_dim = query feature dim
+        # (model/model.py:45-57)
+        self.matcher = Matcher(matching_method, self.readout.l_dim, in_dim,
+                               hidden_dim)
+
+    # ------------------------------------------------------------------ params
+    def init(self, key: jax.Array):
+        kp, kr, km = jax.random.split(key, 3)
+        return {"propagate": self.propagate.init(kp),
+                "readout": self.readout.init(kr),
+                "match": self.matcher.init(km)}
+
+    # ------------------------------------------------------------------ stages
+    def encode(self, params, feats: jax.Array, ngp: jax.Array,
+               nsib: jax.Array, *, rng: jax.Array, train: bool) -> jax.Array:
+        """Egonet features [B, N, D] -> graph embeddings [B, l_dim].
+
+        The `encode_graph` stage of evaluation (test_fast.py:25-28):
+        graph_propagate + readout, no matcher.
+        """
+        h = self.propagate.apply(params["propagate"], feats, ngp, nsib,
+                                 self.max_parents, rng=rng, train=train)
+        return self.readout.apply(params["readout"], h, ngp, nsib,
+                                  self.max_parents)
+
+    def match(self, params, hg: jax.Array, qf: jax.Array) -> jax.Array:
+        return self.matcher.apply(params["match"], hg, qf)
+
+    def match_all(self, params, hg: jax.Array, qf: jax.Array) -> jax.Array:
+        return self.matcher.apply_all(params["match"], hg, qf)
+
+    # ----------------------------------------------------------------- forward
+    def gather_feats(self, feature_table: jax.Array, ego: EgoBatch
+                     ) -> jax.Array:
+        """Device-side feature gather: [V, D] table + [B, N] ids -> [B, N, D],
+        padded slots zeroed (replaces per-egonet host feature copies,
+        dataset.py:430)."""
+        from ..ops import star as star_ops
+        feats = feature_table[ego.node_ids]
+        mask = star_ops.node_mask(ego.ngp, ego.nsib, self.max_parents,
+                                  ego.node_ids.shape[1])
+        return feats * mask[..., None]
+
+    def forward(self, params, batch: GroupBatch, feature_table: jax.Array, *,
+                rng: jax.Array, train: bool) -> jax.Array:
+        """GroupBatch -> scores [G, C] (model/model.py:70-87, already in the
+        per-group layout the InfoNCE loss wants)."""
+        g, c = batch.labels.shape
+        feats = self.gather_feats(feature_table, batch.ego)
+        hg = self.encode(params, feats, batch.ego.ngp, batch.ego.nsib,
+                         rng=rng, train=train)
+        if batch.query_feats is not None:
+            qf = batch.query_feats
+        else:
+            qf = feature_table[batch.query_ids]
+        qf_per_ego = jnp.repeat(qf, c, axis=0)
+        scores = self.match(params, hg, qf_per_ego)
+        return scores.reshape(g, c)
