@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark: PGAT fwd+bwd training throughput on TPU (edges/s/chip).
+
+Workload is the MAG-CS paper configuration (config.mag.json arch: in=250,
+hidden=500, out=500, pos=50, heads [4,1], 1 layer -> 2 GAT layers; batch of
+128 InfoNCE groups x 32 candidates, expand_factor 50), on synthetic data —
+the reference ships no runnable dataset (BASELINE.md).
+
+Two implementations of identical math are timed:
+- star: the dense closed-form star-attention path (this framework's hot path);
+- segment: generic gather/scatter segment ops — how a DGL-style SpMM/SDDMM
+  implementation maps onto XLA (the reference's computational pattern,
+  model/model_zoo.py:80-114), used as the on-chip baseline since the CUDA/DGL
+  reference itself cannot run on TPU and publishes no numbers (BASELINE.md).
+
+Prints ONE json line:
+  {"metric": "edges_per_s_pgat_fwd_bwd", "value": <star edges/s>,
+   "unit": "edges/s/chip", "vs_baseline": <star / segment speedup>}
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_workload(groups, group_size, max_parents, expand_factor, in_dim,
+                   hidden_dim, out_dim, pos_dim, heads, num_nodes, seed=0):
+    import jax
+    from taxoexpan_tpu.data.egobatch import EgoBatch, GroupBatch
+    from taxoexpan_tpu.models import TaxoExpan
+
+    rng = np.random.default_rng(seed)
+    model = TaxoExpan("PGAT", "WMR", "BIM", in_dim=in_dim,
+                      hidden_dim=hidden_dim, out_dim=out_dim, pos_dim=pos_dim,
+                      num_layers=1, heads=list(heads), feat_drop=0.1,
+                      attn_drop=0.1, max_parents=max_parents,
+                      expand_factor=expand_factor)
+    params = model.init(jax.random.PRNGKey(0))
+    b = groups * group_size
+    n = max_parents + 1 + expand_factor
+    # realistic fanouts: most anchors have 1-3 parents, near-full sibling sets
+    ngp = rng.integers(1, max_parents + 1, (b,)).astype(np.int32)
+    nsib = np.minimum(rng.poisson(expand_factor * 0.8, (b,)),
+                      expand_factor).astype(np.int32)
+    ego = EgoBatch(node_ids=rng.integers(0, num_nodes, (b, n)).astype(np.int32),
+                   ngp=ngp, nsib=nsib)
+    labels = np.zeros((groups, group_size), np.float32)
+    labels[:, 0] = 1.0
+    batch = GroupBatch(
+        ego=ego,
+        query_ids=rng.integers(0, num_nodes, (groups,)).astype(np.int32),
+        query_feats=None, labels=labels,
+        cand_mask=np.ones((groups, group_size), bool))
+    table = rng.normal(size=(num_nodes, in_dim)).astype(np.float32)
+    n_edges = int(ngp.sum() + nsib.sum() + (ngp + 1 + nsib).sum())
+    return model, params, batch, table, n_edges
+
+
+def make_step(model, path, optimizer):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from taxoexpan_tpu.losses import info_nce_loss
+    from taxoexpan_tpu.models.generic import forward_generic
+
+    def fwd(params, batch, table, rng):
+        if path == "star":
+            return model.forward(params, batch, table, rng=rng, train=True)
+        return forward_generic(model, params, batch, table, rng=rng,
+                               train=True)
+
+    @jax.jit
+    def step(params, opt_state, batch, table, rng):
+        def loss_fn(p):
+            scores = fwd(p, batch, table, rng)
+            return info_nce_loss(scores, jnp.asarray(batch.labels),
+                                 jnp.asarray(batch.cand_mask))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def time_path(path, model, params, batch, table, steps, warmup):
+    import jax
+    import optax
+
+    optimizer = optax.amsgrad(1e-3)
+    params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+    opt_state = optimizer.init(params)
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x)), batch)
+    table = jax.device_put(table)
+    step = make_step(model, path, optimizer)
+    rng = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        params, opt_state, loss = step(params, opt_state, batch, table,
+                                       jax.random.fold_in(rng, i))
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, batch, table,
+                                       jax.random.fold_in(rng, 100 + i))
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / steps
+    return dt, float(loss)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--groups", type=int, default=128)
+    p.add_argument("--group-size", type=int, default=32)
+    p.add_argument("--max-parents", type=int, default=13)
+    p.add_argument("--expand-factor", type=int, default=50)
+    p.add_argument("--in-dim", type=int, default=250)
+    p.add_argument("--hidden-dim", type=int, default=500)
+    p.add_argument("--out-dim", type=int, default=500)
+    p.add_argument("--pos-dim", type=int, default=50)
+    p.add_argument("--num-nodes", type=int, default=30000)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU (debug); default = real TPU chip")
+    p.add_argument("--skip-baseline", action="store_true",
+                   help="skip the segment-path baseline timing")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    dev = jax.devices()[0]
+    print(f"# device: {dev.device_kind}", file=sys.stderr)
+
+    model, params, batch, table, n_edges = build_workload(
+        args.groups, args.group_size, args.max_parents, args.expand_factor,
+        args.in_dim, args.hidden_dim, args.out_dim, args.pos_dim, [4, 1],
+        args.num_nodes)
+    print(f"# workload: {args.groups * args.group_size} egonets/step, "
+          f"{n_edges} edges/step", file=sys.stderr)
+
+    star_dt, star_loss = time_path("star", model, params, batch, table,
+                                   args.steps, args.warmup)
+    star_eps = n_edges / star_dt
+    print(f"# star: {star_dt * 1e3:.2f} ms/step, {star_eps:.3e} edges/s, "
+          f"loss={star_loss:.3f}", file=sys.stderr)
+
+    vs_baseline = 1.0
+    if not args.skip_baseline:
+        seg_dt, seg_loss = time_path("segment", model, params, batch, table,
+                                     args.steps, args.warmup)
+        seg_eps = n_edges / seg_dt
+        print(f"# segment baseline: {seg_dt * 1e3:.2f} ms/step, "
+              f"{seg_eps:.3e} edges/s, loss={seg_loss:.3f}", file=sys.stderr)
+        vs_baseline = star_eps / seg_eps
+
+    print(json.dumps({"metric": "edges_per_s_pgat_fwd_bwd",
+                      "value": round(star_eps, 1),
+                      "unit": "edges/s/chip",
+                      "vs_baseline": round(vs_baseline, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Two-phase candidate ranking engine — the test_fast.py / infer.py core.
+
+Phase 1 (encode): build every candidate anchor's egonet once
+(test_fast.py:96-97), encode them through propagate+readout in fixed-size
+device chunks (the large-batch mode of test_fast.py:149-179, but with static
+shapes and no host<->device parking of intermediates).
+
+Phase 2 (score): instead of the reference's per-query matcher loop
+(test_fast.py:116-140,189-218), score ALL queries against ALL positions with
+the matcher's all-pairs form — for BIM/LBM one [C, d] x [d, Q] MXU matmul
+(taxoexpan_tpu/models/matching.py:apply_all) — then rank positives per query
+on host exactly like `rearrange` + `obtain_ranks` (test_fast.py:16-22,
+metric.py:33-60).
+"""
+from __future__ import annotations
+
+import logging
+
+import jax
+import numpy as np
+
+from .. import metrics as metrics_mod
+from ..data.egobatch import make_ego_batch
+from ..data.sampler import MaskedGraphSampler
+
+logger = logging.getLogger(__name__)
+
+
+class TaxonomyRanker:
+    def __init__(self, model, params, sampler: MaskedGraphSampler,
+                 feature_table, *, encode_chunk: int = 4096,
+                 query_chunk: int = 256, anchors: list[int] | None = None):
+        self.model = model
+        self.params = params
+        self.sampler = sampler
+        self.feature_table = np.asarray(feature_table, dtype=np.float32)
+        self.encode_chunk = encode_chunk
+        self.query_chunk = query_chunk
+        # candidate positions: train node ids (test_fast.py:94); infer mode
+        # passes all working-graph nodes instead (infer.py:79-80)
+        self.candidates = (sorted(anchors) if anchors is not None
+                           else list(sampler.candidate_positions))
+        self._hg = None
+
+        self._encode_jit = jax.jit(
+            lambda p, feats, ngp, nsib: model.encode(
+                p, feats, ngp, nsib, rng=jax.random.PRNGKey(0), train=False))
+        self._match_all_jit = jax.jit(
+            lambda p, hg, qf: model.match_all(p, hg, qf))
+
+    # ------------------------------------------------------------ phase 1
+    def encode_all_anchors(self) -> np.ndarray:
+        """Encode every candidate egonet once -> hg [C, l_dim] (host array)."""
+        if self._hg is not None:
+            return self._hg
+        s = self.sampler
+        chunks = []
+        table = jax.device_put(self.feature_table)
+        n = len(self.candidates)
+        for lo in range(0, n, self.encode_chunk):
+            cand = self.candidates[lo:lo + self.encode_chunk]
+            egos = [s.anchor_egonet(a) for a in cand]
+            # pad the final chunk to keep the jit signature static
+            pad = self.encode_chunk - len(egos)
+            egos = egos + [([], 0, [])] * pad
+            batch = make_ego_batch(egos, s.max_parents, s.expand_factor)
+            feats = self.model.gather_feats(table, _device_batch(batch))
+            hg = self._encode_jit(self.params, feats,
+                                  jax.numpy.asarray(batch.ngp),
+                                  jax.numpy.asarray(batch.nsib))
+            chunks.append(np.asarray(hg)[:len(cand)])
+        self._hg = np.concatenate(chunks, axis=0) if chunks else \
+            np.zeros((0, 1), np.float32)
+        logger.info("Encoded %d candidate positions", len(self.candidates))
+        return self._hg
+
+    # ------------------------------------------------------------ phase 2
+    def score(self, query_feats: np.ndarray) -> np.ndarray:
+        """[Q, D] query features -> [Q, C] scores, chunked over queries."""
+        hg = jax.device_put(self.encode_all_anchors())
+        out = []
+        q = np.asarray(query_feats, dtype=np.float32)
+        for lo in range(0, q.shape[0], self.query_chunk):
+            chunk = q[lo:lo + self.query_chunk]
+            pad = self.query_chunk - chunk.shape[0]
+            if pad:
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+            s = self._match_all_jit(self.params, hg, jax.device_put(chunk))
+            out.append(np.asarray(s)[:q.shape[0] - lo])
+        return np.concatenate(out, axis=0)
+
+    # ---------------------------------------------------------- evaluation
+    def evaluate(self, metric_names: list[str], rank_mode: int,
+                 case_study: bool = False) -> tuple[dict, list[list[str]]]:
+        """Rank every test query against all candidates; per-query metric
+        accumulation exactly as test_fast.py:116-140 (metrics averaged over
+        queries)."""
+        s = self.sampler
+        queries = list(s.node_list)
+        metric_fns = [metrics_mod.get_metric(m) for m in metric_names]
+        cand_index = {c: i for i, c in enumerate(self.candidates)}
+
+        qf = s.node_features[np.asarray(queries)]
+        scores = self.score(qf)
+
+        totals = np.zeros(len(metric_fns))
+        cases: list[list[str]] = []
+        if case_study:
+            cases.append(["Test node index", "True parents",
+                          "Predicted parents"] + metric_names)
+        for qi, query in enumerate(queries):
+            parents = s.node2parents[query]
+            pos_idx = [cand_index[p] for p in parents if p in cand_index]
+            if not pos_idx:
+                continue
+            ranks = [metrics_mod.ranks_from_scores(scores[qi], pos_idx,
+                                                   mode=rank_mode)]
+            row: list[str] = []
+            if case_study:
+                order = np.argsort(scores[qi], kind="stable")
+                if rank_mode == 1:   # similarity: larger better
+                    order = order[::-1]
+                top5 = [self.candidates[i] for i in order[:5]]
+                vocab = s.taxonomy.vocab
+                row = [vocab[query],
+                       ", ".join(vocab[p] for p in parents),
+                       ", ".join(vocab[p] for p in top5)]
+            for mi, fn in enumerate(metric_fns):
+                val = fn(ranks)
+                totals[mi] += val
+                if case_study:
+                    row.append(str(val))
+            if case_study:
+                cases.append(row)
+        n = max(len(queries), 1)
+        result = {m: totals[i] / n for i, m in enumerate(metric_names)}
+        result["test_topk"] = s.test_topk
+        return result, cases
+
+    # --------------------------------------------------------------- infer
+    def predict_parents(self, query_feats: np.ndarray, rank_mode: int,
+                        topk: int = 5) -> list[list[int]]:
+        """Top-k candidate parents per novel query (infer.py:94-106)."""
+        scores = self.score(query_feats)
+        out = []
+        for row in scores:
+            order = np.argsort(row, kind="stable")
+            if rank_mode == 1:
+                order = order[::-1]
+            out.append([self.candidates[i] for i in order[:topk]])
+        return out
+
+
+def _device_batch(batch):
+    import jax.numpy as jnp
+    from ..data.egobatch import EgoBatch
+    return EgoBatch(node_ids=jnp.asarray(batch.node_ids),
+                    ngp=jnp.asarray(batch.ngp), nsib=jnp.asarray(batch.nsib))

@@ -1,0 +1,285 @@
+"""Training runtime: jitted SPMD train step + epoch loop with monitoring,
+plateau LR, early stopping and checkpointing.
+
+Replaces base/base_trainer.py + trainer/trainer.py. Differences by design:
+
+- the per-batch work is ONE jitted pure function (loss + grads + optimizer
+  update) with donated params/opt-state — no python-side device management;
+- data parallelism is a `jax.sharding.Mesh`: the batch pytree is sharded over
+  the group axis ('dp'), params/features replicated, XLA inserts the gradient
+  psum — replacing torch.nn.DataParallel (base_trainer.py:16-19, SURVEY §2.9
+  N8);
+- the InfoNCE (B, 1+ns) reshape of trainer/trainer.py:52-56 is unnecessary:
+  batches already carry the [G, C] group layout;
+- `grad_clip` from the trainer config is actually applied (the reference
+  declares but never uses it, config.mag.json:97).
+
+Epoch-level semantics preserved: metric averaging over validation batches
+(trainer.py:96-124), monitor spec "min val_macro_mr" + early stop
+(base_trainer.py:31-39,82-104), ReduceLROnPlateau stepped on val metric 0
+(mode min) or 2 (mode max) (trainer.py:84-92), periodic checkpoints +
+model_best (base_trainer.py:106-107).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import metrics as metrics_mod
+from ..losses import get_loss
+from ..utils.writer import TensorboardWriter
+from . import checkpoint as ckpt_mod
+from .optim import PlateauScheduler, get_lr
+
+
+class Trainer:
+    def __init__(self, model, params, optimizer, opt_state, *,
+                 loss_name: str,
+                 metric_names: list[str],
+                 feature_table,
+                 train_loader,
+                 valid_loader=None,
+                 config: dict | None = None,
+                 lr_scheduler: PlateauScheduler | None = None,
+                 mesh=None,
+                 save_dir: str | Path = "saved/run",
+                 log_dir: str | Path | None = None,
+                 rng_seed: int = 0,
+                 start_epoch: int = 1,
+                 monitor_best: float | None = None):
+        self.model = model
+        self.params = params
+        self.optimizer = optimizer
+        self.opt_state = opt_state
+        self.loss_name = loss_name
+        self.loss_fn = get_loss(loss_name)
+        self.metric_names = list(metric_names)
+        self.metric_fns = [metrics_mod.get_metric(m) for m in metric_names]
+        # rank mode by loss family (train.py:29-32)
+        self.rank_mode = 1 if loss_name.startswith("info_nce") else 0
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        self.lr_scheduler = lr_scheduler
+        self.mesh = mesh
+        self.config = config or {}
+        self.logger = logging.getLogger("trainer")
+
+        cfg_t = self.config.get("trainer", {})
+        self.epochs = cfg_t.get("epochs", 10)
+        self.save_period = cfg_t.get("save_period", 1)
+        self.monitor = cfg_t.get("monitor", "off")
+        if self.monitor == "off":
+            self.mnt_mode, self.mnt_metric = "off", None
+            self.mnt_best = 0.0
+            self.early_stop = float("inf")
+        else:
+            self.mnt_mode, self.mnt_metric = self.monitor.split()
+            assert self.mnt_mode in ("min", "max")
+            self.mnt_best = float("inf") if self.mnt_mode == "min" \
+                else float("-inf")
+            self.early_stop = cfg_t.get("early_stop", float("inf"))
+        if monitor_best is not None:
+            self.mnt_best = monitor_best
+        self.start_epoch = start_epoch
+
+        self.checkpoint_dir = Path(save_dir)
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self.writer = TensorboardWriter(
+            log_dir or self.checkpoint_dir,
+            enabled=cfg_t.get("tensorboardX", False))
+
+        self.base_rng = jax.random.PRNGKey(rng_seed)
+        self._step_fn = None
+        self._eval_fn = None
+
+        # device placement: replicate params/features, shard batches on 'dp'
+        if mesh is not None:
+            self.replicated = NamedSharding(mesh, P())
+            self.batch_sharding = NamedSharding(mesh, P("dp"))
+            self.feature_table = jax.device_put(feature_table, self.replicated)
+            self.params = jax.device_put(self.params, self.replicated)
+            self.opt_state = jax.device_put(self.opt_state, self.replicated)
+        else:
+            self.replicated = None
+            self.batch_sharding = None
+            self.feature_table = jnp.asarray(feature_table)
+
+    # ----------------------------------------------------------- jitted steps
+    def _build_step(self):
+        model, loss_fn, optimizer = self.model, self.loss_fn, self.optimizer
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, feature_table, rng):
+            def compute_loss(p):
+                scores = model.forward(p, batch, feature_table, rng=rng,
+                                       train=True)
+                labels = jnp.asarray(batch.labels)
+                mask = jnp.asarray(batch.cand_mask)
+                loss = loss_fn(scores, labels, mask)
+                n_valid = jnp.maximum(mask.any(axis=1).sum(), 1)
+                return loss, n_valid
+
+            (loss, _n), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step
+
+    def _build_eval(self):
+        model = self.model
+
+        @jax.jit
+        def eval_scores(params, batch, feature_table):
+            return model.forward(params, batch, feature_table,
+                                 rng=jax.random.PRNGKey(0), train=False)
+
+        return eval_scores
+
+    def _put_batch(self, batch):
+        if self.batch_sharding is None:
+            return batch
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x), self.batch_sharding),
+            batch)
+
+    # ----------------------------------------------------------------- epochs
+    def _train_epoch(self, epoch: int) -> dict:
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        total_loss = 0.0
+        n_batches = 0
+        for batch_idx, batch in enumerate(self.train_loader):
+            rng = jax.random.fold_in(self.base_rng,
+                                     epoch * 1_000_003 + batch_idx)
+            batch = self._put_batch(batch)
+            self.params, self.opt_state, loss = self._step_fn(
+                self.params, self.opt_state, batch, self.feature_table, rng)
+            loss_val = float(loss)
+            total_loss += loss_val
+            n_batches += 1
+            self.writer.set_step((epoch - 1) * len(self.train_loader)
+                                 + batch_idx)
+            self.writer.add_scalar("loss", loss_val)
+        log = {"loss": total_loss / max(n_batches, 1)}
+
+        if self.valid_loader is not None:
+            log.update(self._valid_epoch(epoch))
+
+        if self.lr_scheduler is not None and "val_metrics" in log:
+            # plateau on MR (min) / Hit@1 (max) — trainer.py:84-92
+            idx = 0 if self.lr_scheduler.mode == "min" else 2
+            self.opt_state, _ = self.lr_scheduler.step(
+                log["val_metrics"][idx], self.opt_state)
+        log["lr"] = get_lr(self.opt_state)
+        return log
+
+    def _valid_epoch(self, epoch: int) -> dict:
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval()
+        totals = np.zeros(len(self.metric_fns))
+        n_batches = 0
+        for batch_idx, batch in enumerate(self.valid_loader):
+            dev_batch = self._put_batch(batch)
+            scores = np.asarray(self._eval_fn(self.params, dev_batch,
+                                              self.feature_table))
+            all_ranks = metrics_mod.ranks_from_groups(
+                scores, batch.labels, batch.cand_mask, mode=self.rank_mode)
+            self.writer.set_step((epoch - 1) * len(self.valid_loader)
+                                 + batch_idx, "valid")
+            for i, fn in enumerate(self.metric_fns):
+                val = fn(all_ranks)
+                totals[i] += val
+                self.writer.add_scalar(self.metric_names[i], val)
+            n_batches += 1
+        return {"val_metrics": (totals / max(n_batches, 1)).tolist()}
+
+    # ------------------------------------------------------------------ train
+    def train(self) -> dict:
+        """Full training loop (base_trainer.py:59-107)."""
+        not_improved_count = 0
+        final_log: dict = {}
+        for epoch in range(self.start_epoch, self.epochs + 1):
+            t0 = time.time()
+            result = self._train_epoch(epoch)
+            log = {"epoch": epoch, "epoch_seconds": round(time.time() - t0, 2)}
+            for key, value in result.items():
+                if key == "val_metrics":
+                    log.update({"val_" + m: value[i]
+                                for i, m in enumerate(self.metric_names)})
+                else:
+                    log[key] = value
+            for key, value in log.items():
+                self.logger.info("    %-15s: %s", key, value)
+            final_log = log
+
+            best = False
+            if self.mnt_mode != "off":
+                if self.mnt_metric not in log:
+                    self.logger.warning(
+                        "Warning: Metric '%s' not found; disabling model "
+                        "performance monitoring.", self.mnt_metric)
+                    self.mnt_mode = "off"
+                else:
+                    value = log[self.mnt_metric]
+                    improved = (value <= self.mnt_best
+                                if self.mnt_mode == "min"
+                                else value >= self.mnt_best)
+                    if improved:
+                        self.mnt_best = value
+                        not_improved_count = 0
+                        best = True
+                    else:
+                        not_improved_count += 1
+                    if not_improved_count > self.early_stop:
+                        self.logger.info(
+                            "Validation performance didn't improve for %s "
+                            "epochs. Training stops.", self.early_stop)
+                        break
+            if epoch % self.save_period == 0:
+                self._save_checkpoint(epoch, save_best=best)
+        return final_log
+
+    # ------------------------------------------------------------ checkpoints
+    def _save_checkpoint(self, epoch: int, save_best: bool = False) -> None:
+        sched = self.lr_scheduler.state_dict() if self.lr_scheduler else None
+        path = self.checkpoint_dir / f"checkpoint-epoch{epoch}.ckpt"
+        ckpt_mod.save_checkpoint(path, params=self.params,
+                                 opt_state=self.opt_state, epoch=epoch,
+                                 monitor_best=self.mnt_best,
+                                 config=self.config, scheduler_state=sched)
+        self.logger.info("Saving checkpoint: %s ...", path)
+        if save_best:
+            best_path = self.checkpoint_dir / "model_best.ckpt"
+            ckpt_mod.save_checkpoint(best_path, params=self.params,
+                                     opt_state=self.opt_state, epoch=epoch,
+                                     monitor_best=self.mnt_best,
+                                     config=self.config,
+                                     scheduler_state=sched)
+            self.logger.info("Saving current best: model_best.ckpt ...")
+
+    def resume(self, path: str) -> None:
+        """Restore params/opt_state/epoch/monitor from a checkpoint
+        (base_trainer.py:151-176)."""
+        state = ckpt_mod.load_checkpoint(path)
+        self.params, self.opt_state = ckpt_mod.restore_into(
+            state, params_template=self.params,
+            opt_state_template=self.opt_state, config=self.config)
+        if self.mesh is not None:
+            self.params = jax.device_put(self.params, self.replicated)
+            self.opt_state = jax.device_put(self.opt_state, self.replicated)
+        self.start_epoch = state["epoch"] + 1
+        self.mnt_best = state["monitor_best"]
+        if self.lr_scheduler is not None and state.get("scheduler"):
+            self.lr_scheduler.load_state_dict(state["scheduler"])
+        self.logger.info("Checkpoint loaded. Resume training from epoch %s",
+                         self.start_epoch)

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Evaluate a trained checkpoint: rank every test query against all candidate
+positions (the reference's test_fast.py, re-designed around one-shot anchor
+encoding + all-pairs matmul scoring).
+
+    python test_fast.py --resume saved/.../model_best.ckpt [--case out.tsv]
+"""
+import argparse
+
+import jax
+
+from taxoexpan_tpu import builders
+from taxoexpan_tpu.config import ConfigParser
+from taxoexpan_tpu.evaluation import TaxonomyRanker
+from taxoexpan_tpu.train import checkpoint as ckpt_mod
+
+
+def main(config, args_outer):
+    logger = config.get_logger("test")
+    need_case_study = args_outer.case != ""
+    if need_case_study:
+        logger.info("save case study results to %s", args_outer.case)
+
+    test_cfg = dict(config["test_data_loader"]["args"])
+    if args_outer.test_data:
+        test_cfg["data_path"] = args_outer.test_data
+    taxonomy = builders.build_taxonomy(test_cfg["data_path"])
+    test_cfg["sampling_mode"] = 0
+    sampler = builders.build_sampler(taxonomy, test_cfg, "test",
+                                     test_topk=args_outer.topk)
+
+    model = builders.build_model(config["arch"],
+                                 max_parents=sampler.max_parents,
+                                 expand_factor=sampler.expand_factor)
+    logger.info("Loading checkpoint: %s ...", config.resume)
+    state = ckpt_mod.load_checkpoint(config.resume)
+    template = model.init(jax.random.PRNGKey(0))
+    params = ckpt_mod._rebind(template, state["params"])
+
+    rank_mode = 1 if config["loss"].startswith("info_nce") else 0
+    encode_chunk = args_outer.batch_size if args_outer.batch_size > 0 else 4096
+    ranker = TaxonomyRanker(model, params, sampler,
+                            sampler.node_features,
+                            encode_chunk=encode_chunk)
+    logger.info("Number of queries: %d", len(sampler.node_list))
+    result, cases = ranker.evaluate(config["metrics"], rank_mode,
+                                    case_study=need_case_study)
+    if need_case_study:
+        with open(args_outer.case, "w") as fout:
+            for row in cases:
+                fout.write("\t".join(row) + "\n")
+    logger.info("%s", result)
+    return result
+
+
+if __name__ == "__main__":
+    args = argparse.ArgumentParser(
+        description="Testing taxonomy expansion model")
+    args.add_argument("-td", "--test_data", default="", type=str,
+                      help="test data path; defaults to the config's")
+    args.add_argument("-r", "--resume", required=True, type=str,
+                      help="path to checkpoint")
+    args.add_argument("-d", "--device", default=None, type=str,
+                      help="jax platform (cpu | tpu)")
+    args.add_argument("-k", "--topk", default=-1, type=int,
+                      help="retrieval-prefilter size, -1 = no retrieval stage")
+    args.add_argument("-b", "--batch_size", default=-1, type=int,
+                      help="anchor-encoding chunk size; -1 = default 4096 "
+                           "(use e.g. 30000 for MAG-Full scale)")
+    args.add_argument("-c", "--case", default="", type=str,
+                      help="case study output TSV ('' = disabled)")
+    args_outer = args.parse_args()
+    config = ConfigParser(args)
+    main(config, args_outer)

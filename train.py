@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Train a TaxoExpan model (TPU-native).
+
+CLI-compatible re-design of the reference's train.py: same config files, same
+override flags (train.py:50-88), pure-JAX runtime underneath.
+
+    python train.py --config configs/config.synthetic.json
+    python train.py --config ... --pm PGAT --rm WMR --mm LBM --lr 1e-3
+"""
+import argparse
+import time
+
+import jax
+
+from taxoexpan_tpu import builders
+from taxoexpan_tpu.config import ConfigParser, CustomArg
+from taxoexpan_tpu.parallel import data_parallel_mesh
+from taxoexpan_tpu.train import Trainer
+
+
+def main(config):
+    logger = config.get_logger(
+        "train", config["trainer"].get("verbosity", 2))
+
+    taxonomy = builders.build_taxonomy(
+        config["train_data_loader"]["args"]["data_path"])
+    train_cfg = config["train_data_loader"]["args"]
+    train_sampler = builders.build_sampler(taxonomy, train_cfg, "train")
+    train_loader = builders.build_loader(train_sampler, train_cfg)
+
+    valid_loader = None
+    if "validation_data_loader" in config:
+        val_cfg = dict(config["validation_data_loader"]["args"])
+        # the validation batch layout must share the train sampler's static
+        # grandparent-slot count
+        val_cfg["max_parents"] = train_sampler.max_parents
+        val_sampler = builders.build_sampler(taxonomy, val_cfg, "validation")
+        valid_loader = builders.build_loader(val_sampler, val_cfg)
+
+    model = builders.build_model(
+        config["arch"], max_parents=train_sampler.max_parents,
+        expand_factor=train_sampler.expand_factor)
+    params = model.init(jax.random.PRNGKey(config.get("seed", 0)))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    logger.info("Model: %s/%s/%s, %d trainable parameters",
+                model.propagation_method, model.readout_method,
+                model.matching_method, n_params)
+
+    optimizer = builders.build_optimizer_from_config(
+        config["optimizer"], config["trainer"])
+    opt_state = optimizer.init(params)
+    scheduler = builders.build_scheduler(config.get("lr_scheduler"))
+
+    n_dev = len(jax.devices())
+    mesh = data_parallel_mesh() if n_dev > 1 else None
+    if mesh is not None:
+        logger.info("Data-parallel mesh over %d devices", n_dev)
+
+    trainer = Trainer(model, params, optimizer, opt_state,
+                      loss_name=config["loss"],
+                      metric_names=config["metrics"],
+                      feature_table=train_sampler.node_features,
+                      train_loader=train_loader,
+                      valid_loader=valid_loader,
+                      config=dict(config.config),
+                      lr_scheduler=scheduler,
+                      mesh=mesh,
+                      save_dir=config.save_dir,
+                      log_dir=config.log_dir,
+                      rng_seed=config.get("seed", 0))
+    if config.resume is not None:
+        trainer.resume(config.resume)
+
+    start = time.time()
+    trainer.train()
+    logger.info("Finish training in %.1f seconds", time.time() - start)
+
+
+if __name__ == "__main__":
+    args = argparse.ArgumentParser(
+        description="Training taxonomy expansion model")
+    args.add_argument("-c", "--config", default=None, type=str,
+                      help="config file path")
+    args.add_argument("-r", "--resume", default=None, type=str,
+                      help="path to latest checkpoint")
+    args.add_argument("-d", "--device", default=None, type=str,
+                      help="jax platform to use (cpu | tpu)")
+    args.add_argument("-s", "--suffix", default="", type=str,
+                      help="suffix indicating this run")
+    options = [
+        # Data loader (self-supervision generation) — train.py:60-68
+        CustomArg(["--train_data"], type=str,
+                  target=("train_data_loader", "args", "data_path")),
+        CustomArg(["--validation_data"], type=str,
+                  target=("validation_data_loader", "args", "data_path")),
+        CustomArg(["--bs", "--batch_size"], type=int,
+                  target=("train_data_loader", "args", "batch_size")),
+        CustomArg(["--ns", "--negative_size"], type=int,
+                  target=("train_data_loader", "args", "negative_size")),
+        CustomArg(["--ef", "--expand_factor"], type=int,
+                  target=("train_data_loader", "args", "expand_factor")),
+        CustomArg(["--crt", "--cache_refresh_time"], type=int,
+                  target=("train_data_loader", "args", "cache_refresh_time")),
+        CustomArg(["--nw", "--num_workers"], type=int,
+                  target=("train_data_loader", "args", "num_workers")),
+        # Trainer & Optimizer — train.py:69-75
+        CustomArg(["--loss"], type=str, target=("loss",)),
+        CustomArg(["--ep", "--epochs"], type=int, target=("trainer", "epochs")),
+        CustomArg(["--v", "--verbose_level"], type=int,
+                  target=("trainer", "verbosity")),
+        CustomArg(["--lr", "--learning_rate"], type=float,
+                  target=("optimizer", "args", "lr")),
+        CustomArg(["--wd", "--weight_decay"], type=float,
+                  target=("optimizer", "args", "weight_decay")),
+        # Model architecture — train.py:76-85
+        CustomArg(["--pm", "--propagation_method"], type=str,
+                  target=("arch", "args", "propagation_method")),
+        CustomArg(["--rm", "--readout_method"], type=str,
+                  target=("arch", "args", "readout_method")),
+        CustomArg(["--mm", "--matching_method"], type=str,
+                  target=("arch", "args", "matching_method")),
+        CustomArg(["--in_dim"], type=int, target=("arch", "args", "in_dim")),
+        CustomArg(["--hidden_dim"], type=int,
+                  target=("arch", "args", "hidden_dim")),
+        CustomArg(["--out_dim"], type=int, target=("arch", "args", "out_dim")),
+        CustomArg(["--pos_dim"], type=int, target=("arch", "args", "pos_dim")),
+        CustomArg(["--num_heads"], type=int,
+                  target=("arch", "args", "heads", 0)),
+        CustomArg(["--feat_drop"], type=float,
+                  target=("arch", "args", "feat_drop")),
+        CustomArg(["--attn_drop"], type=float,
+                  target=("arch", "args", "attn_drop")),
+    ]
+    config = ConfigParser(args, options)
+    main(config)
