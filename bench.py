@@ -87,6 +87,15 @@ def make_step(model, path, optimizer):
 
 
 def time_path(path, model, params, batch, table, steps, warmup):
+    """Per-step time via the slope of chained step counts.
+
+    On this TPU relay, block_until_ready can return before execution finishes
+    and a host readback carries a large constant latency, so neither timing a
+    loop nor per-step readback is trustworthy. Instead: run k_short and k_long
+    chained steps (state threads through, so forcing the final scalar loss
+    forces the whole chain) and divide the time DIFFERENCE by the step
+    difference — constant relay/readback overhead cancels.
+    """
     import jax
     import optax
 
@@ -98,17 +107,25 @@ def time_path(path, model, params, batch, table, steps, warmup):
     table = jax.device_put(table)
     step = make_step(model, path, optimizer)
     rng = jax.random.PRNGKey(0)
-    for i in range(warmup):
-        params, opt_state, loss = step(params, opt_state, batch, table,
-                                       jax.random.fold_in(rng, i))
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, batch, table,
-                                       jax.random.fold_in(rng, 100 + i))
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / steps
-    return dt, float(loss)
+    state = {"params": params, "opt_state": opt_state, "i": 0}
+
+    def run(k):
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(k):
+            state["params"], state["opt_state"], loss = step(
+                state["params"], state["opt_state"], batch, table,
+                jax.random.fold_in(rng, state["i"]))
+            state["i"] += 1
+        forced = float(loss)  # scalar readback forces the whole chain
+        return time.perf_counter() - t0, forced
+
+    run(max(warmup, 1))                       # compile + warm
+    k_short, k_long = max(steps // 4, 1), steps
+    t_short, _ = run(k_short)
+    t_long, last_loss = run(k_long)
+    dt = (t_long - t_short) / (k_long - k_short)
+    return max(dt, 1e-9), last_loss
 
 
 def main():

@@ -36,7 +36,8 @@ class GroupBatchLoader:
                  batch_size: int,
                  shuffle: bool = True,
                  seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2,
+                 backend: str = "auto"):
         if sampler.mode == "test":
             raise ValueError(
                 "GroupBatchLoader serves train/validation; use "
@@ -47,6 +48,19 @@ class GroupBatchLoader:
         self.rng = random.Random(seed)
         self.prefetch = prefetch
 
+        # native C++ fast path for the training layout (sampling_mode 1)
+        self.native = None
+        if backend not in ("auto", "native", "python"):
+            raise ValueError(f"unknown loader backend {backend!r}")
+        if backend in ("auto", "native") and sampler.sampling_mode == 1:
+            try:
+                from ..native import NativeSampler
+                if NativeSampler.available():
+                    self.native = NativeSampler(sampler, seed=seed)
+            except Exception:
+                if backend == "native":
+                    raise
+
         if sampler.sampling_mode == 1:
             self.max_pos = 1
         else:
@@ -56,7 +70,34 @@ class GroupBatchLoader:
         self.num_batches = -(-self.num_queries // self.batch_size)
 
     # ------------------------------------------------------------------ build
+    def _build_batch_native(self, queries: list[int]) -> GroupBatch:
+        import numpy as np
+        s = self.sampler
+        g, c = self.batch_size, self.group_size
+        n = s.max_parents + 1 + s.expand_factor
+        q = np.asarray(queries, dtype=np.int32)
+        node_ids, ngp, nsib, labels, cand_mask = \
+            self.native.sample_train_batch(q)
+        if len(queries) < g:  # pad the final batch with empty groups
+            pad_rows = (g - len(queries)) * c
+            node_ids = np.vstack([node_ids,
+                                  np.zeros((pad_rows, n), np.int32)])
+            ngp = np.concatenate([ngp, np.zeros(pad_rows, np.int32)])
+            nsib = np.concatenate([nsib, np.zeros(pad_rows, np.int32)])
+            labels = np.vstack([labels,
+                                np.zeros((g - len(queries), c), np.float32)])
+            cand_mask = np.vstack([cand_mask,
+                                   np.zeros((g - len(queries), c), bool)])
+        query_ids = np.zeros((g,), np.int32)
+        query_ids[:len(queries)] = q
+        from .egobatch import EgoBatch
+        ego = EgoBatch(node_ids=node_ids, ngp=ngp, nsib=nsib)
+        return GroupBatch(ego=ego, query_ids=query_ids, query_feats=None,
+                          labels=labels, cand_mask=cand_mask)
+
     def _build_batch(self, queries: list[int]) -> GroupBatch:
+        if self.native is not None:
+            return self._build_batch_native(queries)
         s = self.sampler
         g, c = self.batch_size, self.group_size
         labels = np.zeros((g, c), dtype=np.float32)
