@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Hand-crafted feature extractor + gradient-boosting baseline.
+
+Re-implements baselines/XGBoost/feature_extractor.py: the NegativeQueue
+(:11-40) and the 39-dimensional feature vector for a <query, candidate-parent>
+pair (:57-155) built from cosine-distance statistics of the candidate's local
+subgraph (parent itself, grandparents, siblings): count/min/max/median/mean/
+std/ptp/relative-rank blocks plus global stats. The training/prediction
+pipeline (self_supervision_generation.py, model_training.py,
+model_prediction.py) is reproduced by `train_booster` / `evaluate`, gated on
+xgboost availability (not in this image -> raises a clear error; feature
+extraction itself is dependency-free).
+
+    python -m taxoexpan_tpu.baselines.xgb_features --data ... [--train]
+"""
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+from ..data.taxonomy import Taxonomy
+from ..metrics import (hit_at_1, hit_at_3, hit_at_5, macro_mr, micro_mr,
+                       mrr_scaled_10, ranks_from_scores)
+
+NUM_FEATURES = 39
+_SENTINEL = [0, -999, -999, -999, -999, -999, -999, -999]
+
+
+class NegativeQueue:
+    """Shuffled queue with walking pointer (feature_extractor.py:11-40)."""
+
+    def __init__(self, queue: list[int], seed: int = 0):
+        self.pointer = 0
+        self.queue = list(queue)
+        self.rng = random.Random(seed)
+        self.rng.shuffle(self.queue)
+
+    def sample(self, query: int, negative_size: int) -> list[int]:
+        if self.pointer == 0:
+            self.rng.shuffle(self.queue)
+        negatives = [x for x in self.queue[self.pointer:
+                                           self.pointer + negative_size]
+                     if x != query]
+        self.pointer += negative_size
+        if self.pointer >= len(self.queue):
+            self.pointer = 0
+        return negatives
+
+    def sample_avoid_positive_set(self, positive_set, negative_size):
+        if self.pointer == 0:
+            self.rng.shuffle(self.queue)
+        negatives = [x for x in self.queue[self.pointer:
+                                           self.pointer + negative_size]
+                     if x not in positive_set]
+        self.pointer += negative_size
+        if self.pointer >= len(self.queue):
+            self.pointer = 0
+        return negatives
+
+
+def _stats_block(d: np.ndarray, parent_distance: float) -> list[float]:
+    if len(d) == 0:
+        return list(_SENTINEL)
+    return [len(d), float(np.min(d)), float(np.max(d)), float(np.median(d)),
+            float(np.mean(d)), float(np.std(d)),
+            float(np.max(d) - np.min(d)),
+            float((d < parent_distance).sum() / len(d))]
+
+
+class FeatureExtractor:
+    """39 features from distance statistics (feature_extractor.py:57-155)."""
+
+    def __init__(self, taxonomy: Taxonomy, restrict_to_train: bool = True):
+        self.taxo = taxonomy
+        feats = np.asarray(taxonomy.features, np.float32)
+        self.unit = feats / np.maximum(
+            np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+        self.children = taxonomy.children
+        self.parents = taxonomy.parents
+
+    def _dist(self, a: int, nodes: np.ndarray) -> np.ndarray:
+        return 1.0 - self.unit[nodes] @ self.unit[a]
+
+    def extract_features(self, query_node: int, parent_node: int
+                         ) -> list[float]:
+        gps = self.parents.neighbors(parent_node)
+        sibs = np.asarray([c for c in self.children.neighbors(parent_node)
+                           if c != query_node], dtype=np.int32)
+        neighbor = np.concatenate([[parent_node], gps, sibs]).astype(np.int64)
+        d = self._dist(query_node, neighbor)       # query -> local subgraph
+        pd = self._dist(parent_node, neighbor)     # parent -> local subgraph
+        ngp = len(gps)
+        parent_distance = float(d[0])
+
+        feat = [parent_distance]
+        feat += _stats_block(d[1:1 + ngp], parent_distance)     # 2-9 gp
+        feat += _stats_block(d[1 + ngp:], parent_distance)      # 10-17 sib
+        feat += _stats_block(pd[1:1 + ngp], parent_distance)    # 18-25 p-gp
+        feat += _stats_block(pd[1 + ngp:], parent_distance)     # 26-33 p-sib
+        feat += [float(np.min(d)), float(np.max(d)), float(np.median(d)),
+                 float(np.mean(d)), float(np.std(d)),
+                 float(np.max(d) - np.min(d))]                  # 34-39 global
+        assert len(feat) == NUM_FEATURES
+        return feat
+
+
+def generate_supervision(taxonomy: Taxonomy, negative_size: int = 30,
+                         seed: int = 0):
+    """(X, y) training matrix from existing edges + queue negatives
+    (self_supervision_generation.py:37-79)."""
+    fe = FeatureExtractor(taxonomy)
+    train_set = set(int(t) for t in taxonomy.train_node_ids)
+    queue = NegativeQueue(list(train_set) * 2, seed=seed)
+    rows, labels = [], []
+    for q in train_set:
+        parents = [p for p in taxonomy.parents.neighbors(q).tolist()
+                   if p in train_set]
+        if not parents:
+            continue
+        for p in parents:
+            rows.append(fe.extract_features(q, p))
+            labels.append(1)
+        for n in queue.sample_avoid_positive_set(set(parents) | {q},
+                                                 negative_size):
+            rows.append(fe.extract_features(q, n))
+            labels.append(0)
+    return np.asarray(rows, np.float32), np.asarray(labels, np.float32)
+
+
+def train_booster(x: np.ndarray, y: np.ndarray, num_rounds: int = 200,
+                  params: dict | None = None):
+    try:
+        import xgboost as xgb
+    except ImportError as e:
+        raise RuntimeError(
+            "xgboost is not installed in this environment; the feature "
+            "pipeline works standalone — install xgboost to train the "
+            "booster (model_training.py equivalent)") from e
+    dtrain = xgb.DMatrix(x, label=y)
+    default = {"max_depth": 6, "eta": 0.1, "objective": "binary:logistic",
+               "eval_metric": "logloss"}
+    return xgb.train({**default, **(params or {})}, dtrain, num_rounds)
+
+
+def evaluate(taxonomy: Taxonomy, booster, retrieval_size: int = -1) -> dict:
+    """Rank candidates per test query with booster scores
+    (model_prediction.py:104-136)."""
+    import xgboost as xgb
+    fe = FeatureExtractor(taxonomy)
+    train_ids = [int(t) for t in taxonomy.train_node_ids]
+    pos_of_train = {t: i for i, t in enumerate(train_ids)}
+    all_ranks = []
+    for q in taxonomy.test_node_ids:
+        parents = [p for p in taxonomy.parents.neighbors(int(q)).tolist()
+                   if p in pos_of_train]
+        if not parents:
+            continue
+        cands = train_ids
+        if retrieval_size > 0:  # embedding retrieval pre-filter
+            d = 1.0 - fe.unit[np.asarray(cands)] @ fe.unit[int(q)]
+            order = np.argsort(d)[:retrieval_size]
+            cands = sorted(set([train_ids[i] for i in order]) | set(parents))
+        x = np.asarray([fe.extract_features(int(q), c) for c in cands],
+                       np.float32)
+        scores = booster.predict(xgb.DMatrix(x))
+        pos_idx = [cands.index(p) for p in parents]
+        all_ranks.append(ranks_from_scores(scores, pos_idx, mode=1))
+    return {
+        "num_queries": len(all_ranks),
+        "macro_mr": macro_mr(all_ranks),
+        "micro_mr": micro_mr(all_ranks),
+        "hit_at_1": hit_at_1(all_ranks),
+        "hit_at_3": hit_at_3(all_ranks),
+        "hit_at_5": hit_at_5(all_ranks),
+        "mrr_scaled_10": mrr_scaled_10(all_ranks),
+    }
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--train", action="store_true",
+                   help="train + evaluate an xgboost booster (requires "
+                        "xgboost)")
+    p.add_argument("--negative_size", type=int, default=30)
+    args = p.parse_args()
+    taxo = Taxonomy.load(args.data)
+    x, y = generate_supervision(taxo, negative_size=args.negative_size)
+    print(f"supervision matrix: {x.shape}, positives: {int(y.sum())}")
+    if args.train:
+        booster = train_booster(x, y)
+        for k, v in evaluate(taxo, booster).items():
+            print(f"{k}: {v}")

@@ -1,0 +1,79 @@
+"""Baseline family tests: each must run end-to-end and beat random ranking on
+the edge-correlated synthetic taxonomy (embeddings correlate along edges, so
+distance baselines have signal by construction)."""
+import numpy as np
+import pytest
+
+from taxoexpan_tpu.baselines import simple_parent, simple_structure
+from taxoexpan_tpu.baselines.simple_mlp import SimpleMLPBaseline
+from taxoexpan_tpu.baselines.xgb_features import (NUM_FEATURES,
+                                                  FeatureExtractor,
+                                                  NegativeQueue,
+                                                  generate_supervision)
+from taxoexpan_tpu.data.synthetic import synthetic_taxonomy
+
+
+@pytest.fixture(scope="module")
+def taxo():
+    return synthetic_taxonomy(num_nodes=400, dim=16, seed=3)
+
+
+def test_simple_parent(taxo):
+    res = simple_parent.evaluate(taxo)
+    n = res["num_candidates"]
+    assert res["macro_mr"] < n / 3          # random ~ n/2
+    assert 0 <= res["hit_at_1"] <= 1
+
+
+@pytest.mark.parametrize("agg,beta", [("sum", 0.0), ("mean", 0.2),
+                                      ("min", 0.1), ("max", 0.1)])
+def test_simple_structure(taxo, agg, beta):
+    res = simple_structure.evaluate(taxo, agg=agg, beta=beta)
+    assert res["macro_mr"] < res["num_candidates"] / 2.5
+
+
+def test_simple_mlp_learns(taxo):
+    b = SimpleMLPBaseline(taxo, model="MLP", negative_size=8, lr=1e-2)
+    b.train(epochs=6, batch_size=64, log=lambda *_: None)
+    res = b.evaluate()
+    assert res["num_queries"] > 0
+    # trained scorer must beat random ranking (~180 for 360 candidates)
+    assert res["macro_mr"] < 160, res
+
+
+@pytest.mark.parametrize("model", ["DeepSetMLP", "DeepAPGMLP"])
+def test_simple_mlp_variants_run(taxo, model):
+    # set-encoder variants are slow learners on tiny synthetic data
+    # (reference reports them as weak baselines too) — assert the full
+    # train/eval pipeline runs and produces finite metrics
+    b = SimpleMLPBaseline(taxo, model=model, negative_size=4, lr=2e-3)
+    b.train(epochs=1, batch_size=64, log=lambda *_: None)
+    res = b.evaluate()
+    assert res["num_queries"] > 0
+    assert np.isfinite(res["macro_mr"])
+    assert 0.0 <= res["hit_at_1"] <= 1.0
+
+
+def test_negative_queue(taxo):
+    q = NegativeQueue(list(range(50)) * 2, seed=1)
+    negs = q.sample_avoid_positive_set({1, 2, 3}, 10)
+    assert all(n not in {1, 2, 3} for n in negs)
+    assert len(negs) <= 10
+
+
+def test_feature_extractor_shape(taxo):
+    fe = FeatureExtractor(taxo)
+    q = taxo.test_node_ids[0]
+    p = int(taxo.parents.neighbors(q)[0])
+    feat = fe.extract_features(q, p)
+    assert len(feat) == NUM_FEATURES
+    assert np.isfinite(feat[0])
+    # feature 1 is the query->parent cosine distance
+    assert -1.0 <= feat[0] <= 2.0
+
+
+def test_generate_supervision(taxo):
+    x, y = generate_supervision(taxo, negative_size=3)
+    assert x.shape[1] == NUM_FEATURES
+    assert set(np.unique(y)) <= {0.0, 1.0}
+    assert y.sum() > 0 and (y == 0).sum() > 0
