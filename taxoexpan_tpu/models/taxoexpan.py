@@ -111,18 +111,26 @@ class TaxoExpan:
                                   ego.node_ids.shape[1])
         return feats * mask[..., None]
 
+    def forward_with_feats(self, params, batch: GroupBatch,
+                           ego_feats: jax.Array, qf: jax.Array, *,
+                           rng: jax.Array, train: bool) -> jax.Array:
+        """Forward from pre-gathered (already masked) egonet features — used
+        by the partitioned-feature-table path (parallel/partition.py)."""
+        g, c = batch.labels.shape
+        hg = self.encode(params, ego_feats, batch.ego.ngp, batch.ego.nsib,
+                         rng=rng, train=train)
+        qf_per_ego = jnp.repeat(qf, c, axis=0)
+        scores = self.match(params, hg, qf_per_ego)
+        return scores.reshape(g, c)
+
     def forward(self, params, batch: GroupBatch, feature_table: jax.Array, *,
                 rng: jax.Array, train: bool) -> jax.Array:
         """GroupBatch -> scores [G, C] (model/model.py:70-87, already in the
         per-group layout the InfoNCE loss wants)."""
-        g, c = batch.labels.shape
         feats = self.gather_feats(feature_table, batch.ego)
-        hg = self.encode(params, feats, batch.ego.ngp, batch.ego.nsib,
-                         rng=rng, train=train)
         if batch.query_feats is not None:
             qf = batch.query_feats
         else:
             qf = feature_table[batch.query_ids]
-        qf_per_ego = jnp.repeat(qf, c, axis=0)
-        scores = self.match(params, hg, qf_per_ego)
-        return scores.reshape(g, c)
+        return self.forward_with_feats(params, batch, feats, qf, rng=rng,
+                                       train=train)

@@ -50,6 +50,7 @@ class Trainer:
                  config: dict | None = None,
                  lr_scheduler: PlateauScheduler | None = None,
                  mesh=None,
+                 feature_mode: str = "replicated",
                  save_dir: str | Path = "saved/run",
                  log_dir: str | Path | None = None,
                  rng_seed: int = 0,
@@ -100,11 +101,24 @@ class Trainer:
         self._step_fn = None
         self._eval_fn = None
 
-        # device placement: replicate params/features, shard batches on 'dp'
+        # device placement: params replicated, batches sharded on 'dp';
+        # feature table either replicated or row-partitioned across 'dp'
+        # (all-to-all boundary exchange, parallel/partition.py)
+        if feature_mode not in ("replicated", "partitioned"):
+            raise ValueError(f"unknown feature_mode {feature_mode!r}")
+        if feature_mode == "partitioned" and mesh is None:
+            raise ValueError("feature_mode='partitioned' requires a mesh")
+        self.feature_mode = feature_mode
         if mesh is not None:
             self.replicated = NamedSharding(mesh, P())
             self.batch_sharding = NamedSharding(mesh, P("dp"))
-            self.feature_table = jax.device_put(feature_table, self.replicated)
+            if feature_mode == "partitioned":
+                from ..parallel.partition import shard_table
+                self.feature_table = shard_table(
+                    np.asarray(feature_table), mesh, "dp")
+            else:
+                self.feature_table = jax.device_put(feature_table,
+                                                    self.replicated)
             self.params = jax.device_put(self.params, self.replicated)
             self.opt_state = jax.device_put(self.opt_state, self.replicated)
         else:
@@ -113,14 +127,37 @@ class Trainer:
             self.feature_table = jnp.asarray(feature_table)
 
     # ----------------------------------------------------------- jitted steps
+    def _model_forward(self, params, batch, feature_table, rng, train):
+        """Replicated-table fast path, or partitioned-table all-to-all path."""
+        if self.feature_mode == "replicated":
+            return self.model.forward(params, batch, feature_table, rng=rng,
+                                      train=train)
+        from ..ops import star as star_ops
+        from ..parallel.partition import partitioned_gather
+        model = self.model
+        ego = batch.ego
+        feats = partitioned_gather(feature_table, jnp.asarray(ego.node_ids),
+                                   self.mesh, "dp")
+        mask = star_ops.node_mask(jnp.asarray(ego.ngp), jnp.asarray(ego.nsib),
+                                  model.max_parents, ego.node_ids.shape[1])
+        feats = feats * mask[..., None]
+        if batch.query_feats is not None:
+            qf = jnp.asarray(batch.query_feats)
+        else:
+            qf = partitioned_gather(feature_table,
+                                    jnp.asarray(batch.query_ids),
+                                    self.mesh, "dp")
+        return model.forward_with_feats(params, batch, feats, qf, rng=rng,
+                                        train=train)
+
     def _build_step(self):
-        model, loss_fn, optimizer = self.model, self.loss_fn, self.optimizer
+        loss_fn, optimizer = self.loss_fn, self.optimizer
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, feature_table, rng):
             def compute_loss(p):
-                scores = model.forward(p, batch, feature_table, rng=rng,
-                                       train=True)
+                scores = self._model_forward(p, batch, feature_table, rng,
+                                             True)
                 labels = jnp.asarray(batch.labels)
                 mask = jnp.asarray(batch.cand_mask)
                 loss = loss_fn(scores, labels, mask)
@@ -136,12 +173,10 @@ class Trainer:
         return train_step
 
     def _build_eval(self):
-        model = self.model
-
         @jax.jit
         def eval_scores(params, batch, feature_table):
-            return model.forward(params, batch, feature_table,
-                                 rng=jax.random.PRNGKey(0), train=False)
+            return self._model_forward(params, batch, feature_table,
+                                       jax.random.PRNGKey(0), False)
 
         return eval_scores
 

@@ -1,0 +1,109 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh: partitioned
+feature table with all-to-all gather, data-parallel training consistency,
+and the driver's multichip dry run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from taxoexpan_tpu import builders
+from taxoexpan_tpu.data.synthetic import synthetic_taxonomy
+from taxoexpan_tpu.parallel import data_parallel_mesh, make_mesh
+from taxoexpan_tpu.parallel.partition import partitioned_gather, shard_table
+from taxoexpan_tpu.train import Trainer
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_mesh_construction():
+    mesh = make_mesh({"dp": 4, "mp": 2})
+    assert mesh.shape == {"dp": 4, "mp": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"dp": 3})
+
+
+def test_partitioned_gather_matches_dense(rng):
+    mesh = data_parallel_mesh()
+    feats = rng.normal(size=(100, 6)).astype(np.float32)
+    table = shard_table(feats, mesh, "dp")
+    ids = rng.integers(0, 100, size=(16, 5)).astype(np.int32)
+    ids_dev = jax.device_put(ids, NamedSharding(mesh, P("dp")))
+    out = np.asarray(partitioned_gather(table, ids_dev, mesh, "dp"))
+    np.testing.assert_allclose(out, feats[ids], atol=1e-6)
+
+
+def test_partitioned_gather_under_jit(rng):
+    mesh = data_parallel_mesh()
+    feats = rng.normal(size=(64, 4)).astype(np.float32)
+    table = shard_table(feats, mesh, "dp")
+    ids = rng.integers(0, 64, size=(8, 3)).astype(np.int32)
+    ids_dev = jax.device_put(ids, NamedSharding(mesh, P("dp")))
+
+    @jax.jit
+    def f(t, i):
+        return partitioned_gather(t, i, mesh, "dp").sum(axis=(1, 2))
+
+    out = np.asarray(f(table, ids_dev))
+    np.testing.assert_allclose(out, feats[ids].sum(axis=(1, 2)), rtol=1e-5)
+
+
+ARCH = {"args": {"propagation_method": "PGAT", "readout_method": "WMR",
+                 "matching_method": "LBM", "in_dim": 16, "hidden_dim": 16,
+                 "out_dim": 16, "pos_dim": 4, "num_layers": 1,
+                 "heads": [2, 1], "feat_drop": 0.0, "attn_drop": 0.0,
+                 "hidden_drop": 0.0, "out_drop": 0.0}}
+CFG = {"batch_size": 16, "negative_size": 7, "expand_factor": 6,
+       "cache_refresh_time": 16, "normalize_embed": True, "num_workers": 0,
+       "sampling_mode": 1, "shuffle": True}
+
+
+def _make_trainer(tmp_path, mesh, feature_mode):
+    taxo = synthetic_taxonomy(num_nodes=300, dim=16, seed=7)
+    sampler = builders.build_sampler(taxo, CFG, "train", seed=5)
+    loader = builders.build_loader(sampler, CFG, seed=5)
+    model = builders.build_model(ARCH, max_parents=sampler.max_parents,
+                                 expand_factor=sampler.expand_factor)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = builders.build_optimizer_from_config(
+        {"type": "Adam", "args": {"lr": 1e-3, "amsgrad": True}}, {})
+    return Trainer(model, params, opt, opt.init(params),
+                   loss_name="info_nce_loss",
+                   metric_names=["macro_mr"],
+                   feature_table=sampler.node_features,
+                   train_loader=loader, valid_loader=None,
+                   config={"arch": ARCH, "optimizer": {"type": "Adam"},
+                           "trainer": {"epochs": 1, "save_period": 100,
+                                       "monitor": "off"}},
+                   mesh=mesh, feature_mode=feature_mode,
+                   save_dir=tmp_path, rng_seed=3)
+
+
+def test_dp_and_partitioned_agree(tmp_path):
+    mesh = data_parallel_mesh()
+    t_rep = _make_trainer(tmp_path / "rep", mesh, "replicated")
+    log_rep = t_rep._train_epoch(1)
+    t_par = _make_trainer(tmp_path / "par", mesh, "partitioned")
+    log_par = t_par._train_epoch(1)
+    # identical data order + rng: same loss up to reduction reordering
+    np.testing.assert_allclose(log_rep["loss"], log_par["loss"],
+                               rtol=1e-4)
+    # parameters evolved identically
+    for a, b in zip(jax.tree_util.tree_leaves(t_rep.params),
+                    jax.tree_util.tree_leaves(t_par.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_single_device_matches_mesh(tmp_path):
+    t_one = _make_trainer(tmp_path / "one", None, "replicated")
+    log_one = t_one._train_epoch(1)
+    mesh = data_parallel_mesh()
+    t_dp = _make_trainer(tmp_path / "dp", mesh, "replicated")
+    log_dp = t_dp._train_epoch(1)
+    np.testing.assert_allclose(log_one["loss"], log_dp["loss"], rtol=1e-4)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
