@@ -28,7 +28,8 @@ import numpy as np
 
 
 def build_workload(groups, group_size, max_parents, expand_factor, in_dim,
-                   hidden_dim, out_dim, pos_dim, heads, num_nodes, seed=0):
+                   hidden_dim, out_dim, pos_dim, heads, num_nodes, seed=0,
+                   compute_dtype="bfloat16"):
     import jax
     from taxoexpan_tpu.data.egobatch import EgoBatch, GroupBatch
     from taxoexpan_tpu.models import TaxoExpan
@@ -38,7 +39,8 @@ def build_workload(groups, group_size, max_parents, expand_factor, in_dim,
                       hidden_dim=hidden_dim, out_dim=out_dim, pos_dim=pos_dim,
                       num_layers=1, heads=list(heads), feat_drop=0.1,
                       attn_drop=0.1, max_parents=max_parents,
-                      expand_factor=expand_factor)
+                      expand_factor=expand_factor,
+                      compute_dtype=compute_dtype)
     params = model.init(jax.random.PRNGKey(0))
     b = groups * group_size
     n = max_parents + 1 + expand_factor
@@ -141,6 +143,9 @@ def main():
     p.add_argument("--num-nodes", type=int, default=30000)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="activation compute dtype (bf16 = TPU production path)")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU (debug); default = real TPU chip")
     p.add_argument("--skip-baseline", action="store_true",
@@ -156,7 +161,7 @@ def main():
     model, params, batch, table, n_edges = build_workload(
         args.groups, args.group_size, args.max_parents, args.expand_factor,
         args.in_dim, args.hidden_dim, args.out_dim, args.pos_dim, [4, 1],
-        args.num_nodes)
+        args.num_nodes, compute_dtype=args.dtype)
     print(f"# workload: {args.groups * args.group_size} egonets/step, "
           f"{n_edges} edges/step", file=sys.stderr)
 

@@ -63,7 +63,9 @@ def build_model(arch_cfg: dict, *, max_parents: int,
         hidden_drop=a.get("hidden_drop", 0.1),
         out_drop=a.get("out_drop", 0.1),
         max_parents=max_parents,
-        expand_factor=expand_factor)
+        expand_factor=expand_factor,
+        compute_dtype=a.get("compute_dtype", "float32"),
+        kernel=a.get("kernel", "auto"))
 
 
 def build_optimizer_from_config(opt_cfg: dict, trainer_cfg: dict | None = None):

@@ -85,24 +85,47 @@ def init_gat_layer(key, in_dim: int, out_dim: int, num_heads: int,
 
 def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
                     feat_drop: float, attn_drop: float, rng, train: bool,
-                    residual: bool = False):
+                    residual: bool = False, dtype=jnp.float32,
+                    use_pallas: bool = False):
     """One GATLayer forward (model_zoo.py:80-104). h: [B, N, Din] ->
-    [B, N, H, Dh]."""
+    [B, N, H, Dh].
+
+    `dtype=bfloat16` runs the bandwidth-dominant ft tensor and aggregation in
+    bf16 (attention logits/softmax stay f32 for stability) — the [B, N, H, Dh]
+    activation traffic is the bottleneck on TPU, not the MXU."""
     k_feat, k_attn = jax.random.split(rng)
     if feat_drop:
         h = dropout(k_feat, h, feat_drop, train)
     b, n, _ = h.shape
-    ft = (h @ params["fc"]).reshape(b, n, num_heads, -1)
-    a1 = (ft * params["attn_l"]).sum(-1)   # [B, N, H]
-    a2 = (ft * params["attn_r"]).sum(-1)
+    h = h.astype(dtype)
+    fc = params["fc"].astype(dtype)
+    ft = (h @ fc).reshape(b, n, num_heads, -1)
+    # a1 = sum_d ft * attn_l == x @ (W . attn_l) — fold the attention dot
+    # into a tiny matmul instead of two full passes over the ft tensor
+    dh = ft.shape[-1]
+    w_heads = params["fc"].reshape(-1, num_heads, dh)
+    wa1 = jnp.einsum("ihd,hd->ih", w_heads, params["attn_l"])
+    wa2 = jnp.einsum("ihd,hd->ih", w_heads, params["attn_r"])
+    if use_pallas and not residual:
+        from ..ops.pallas_gat import fused_gat_layer
+        seed = jax.random.randint(k_attn, (), 0, 2_147_483_647, jnp.int32)
+        interpret = jax.default_backend() != "tpu"
+        out = fused_gat_layer(
+            h, fc, wa1.astype(dtype), wa2.astype(dtype),
+            (ngp, nsib, seed), p_slots, num_heads, LEAKY_ALPHA,
+            attn_drop if train else 0.0, interpret)
+        return out.reshape(b, n, num_heads, -1)
+    a1 = (h @ wa1.astype(dtype)).astype(jnp.float32)   # [B, N, H]
+    a2 = (h @ wa2.astype(dtype)).astype(jnp.float32)
     ret = star.gat_attention_aggregate(
         ft, a1, a2, ngp, nsib, p_slots,
         leaky_alpha=LEAKY_ALPHA,
         attn_drop=attn_drop if train else 0.0,
-        rng=k_attn)
+        rng=k_attn, mask_output=False)
     if residual:
         if "res_fc" in params:
-            resval = (h @ params["res_fc"]).reshape(b, n, num_heads, -1)
+            resval = (h @ params["res_fc"].astype(dtype)).reshape(
+                b, n, num_heads, -1)
         else:
             resval = h[:, :, None, :]
         ret = resval + ret
@@ -166,7 +189,11 @@ class GAT:
     def __init__(self, in_dim, hidden_dim, out_dim, num_layers, heads,
                  pos_dim: int = 0, activation=leaky_relu,
                  feat_drop=0.5, attn_drop=0.5, residual=False,
-                 position_vocab_size: int = 3):
+                 position_vocab_size: int = 3, dtype=None,
+                 use_pallas: bool = False):
+        import jax.numpy as _jnp
+        self.dtype = dtype or _jnp.float32
+        self.use_pallas = use_pallas
         if len(heads) != num_layers + 1:
             raise ValueError(
                 f"heads must have num_layers+1 entries, got {heads} for "
@@ -208,7 +235,7 @@ class GAT:
         def with_pos(x, i):
             if not self.pos_dim:
                 return x
-            pe = params["pos_emb"][i]["emb"][slot_pos]
+            pe = params["pos_emb"][i]["emb"][slot_pos].astype(x.dtype)
             return jnp.concatenate(
                 [x, jnp.broadcast_to(pe, (b, n, self.pos_dim))], axis=-1)
 
@@ -219,7 +246,8 @@ class GAT:
                                 p_slots, num_heads=nh,
                                 feat_drop=self.feat_drop,
                                 attn_drop=self.attn_drop, rng=keys[l],
-                                train=train, residual=res)
+                                train=train, residual=res, dtype=self.dtype,
+                                use_pallas=self.use_pallas)
             h = h.reshape(b, n, -1)        # flatten heads (model_zoo.py:186)
             h = self.activation(h)
         _, dout, nh, res = self.layer_specs[-1]
@@ -227,8 +255,10 @@ class GAT:
                             ngp, nsib, p_slots, num_heads=nh,
                             feat_drop=self.feat_drop,
                             attn_drop=self.attn_drop, rng=keys[-1],
-                            train=train, residual=res)
-        return h.mean(axis=2)              # mean over heads (model_zoo.py:189)
+                            train=train, residual=res, dtype=self.dtype,
+                            use_pallas=self.use_pallas)
+        # mean over heads (model_zoo.py:189); back to f32 for readout/matcher
+        return h.mean(axis=2).astype(jnp.float32)
 
 
 def star_slot_positions(p_slots: int, n: int):

@@ -40,7 +40,9 @@ class TaxoExpan:
                  hidden_drop: float = 0.1,
                  out_drop: float = 0.1,
                  max_parents: int = 8,
-                 expand_factor: int = 50):
+                 expand_factor: int = 50,
+                 compute_dtype: str = "float32",
+                 kernel: str = "auto"):
         if propagation_method not in PROPAGATION_KINDS:
             raise ValueError(
                 f"Unacceptable Graph Propagation Method: {propagation_method}")
@@ -52,6 +54,20 @@ class TaxoExpan:
         self.expand_factor = expand_factor
         self.num_slots = max_parents + 1 + expand_factor
 
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"compute_dtype must be float32 or bfloat16, "
+                             f"got {compute_dtype!r}")
+        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" \
+            else jnp.float32
+        if kernel not in ("auto", "pallas", "xla"):
+            raise ValueError(f"kernel must be auto|pallas|xla, got {kernel!r}")
+        if kernel == "auto":
+            import jax as _jax
+            use_pallas = _jax.default_backend() == "tpu"
+        else:
+            use_pallas = kernel == "pallas"
+        self.kernel = kernel
+        self.use_pallas = use_pallas
         pos_dim_eff = pos_dim if propagation_method in ("PGCN", "PGAT") else 0
         if propagation_method in ("GCN", "PGCN"):
             self.propagate = GCN(in_dim, hidden_dim, out_dim, num_layers,
@@ -65,7 +81,9 @@ class TaxoExpan:
             self.propagate = GAT(in_dim, hidden_dim, out_dim, num_layers,
                                  heads, pos_dim=pos_dim_eff,
                                  activation=leaky_relu, feat_drop=feat_drop,
-                                 attn_drop=attn_drop)
+                                 attn_drop=attn_drop,
+                                 dtype=self.compute_dtype,
+                                 use_pallas=use_pallas)
 
         self.readout = Readout(readout_method, out_dim)
         # l_dim from readout (x3 for CR), r_dim = query feature dim

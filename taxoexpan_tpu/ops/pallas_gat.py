@@ -1,0 +1,385 @@
+"""Fused Pallas TPU kernel for one star-GAT layer: x @ W + attention +
+aggregation in a single VMEM-resident pass.
+
+Why: the XLA star path materializes the [B, N, H, Dh] `ft` tensor in HBM and
+re-reads it for attention/aggregation — for the MAG-CS bench shape that is
+~2 GB per pass and the layer is bandwidth-bound (see bench.py). This kernel
+tiles the egonet batch, keeps each tile's `ft` in VMEM, and writes only the
+aggregated output: HBM traffic drops to (read x + write out).
+
+Semantics are exactly model_zoo.py:80-114 / ops/star.py:
+    ft = x @ W;  a1 = x @ (W·attn_l);  a2 = x @ (W·attn_r)
+    per-destination softmax over leaky_relu(a1[src] + a2[dst]) on the star
+    (gp -> anchor, anchor -> sib, self-loops), attention dropout AFTER the
+    softmax, then weighted source aggregation.
+
+Custom VJP: the backward pass is also a Pallas kernel; it recomputes ft /
+attention for its tile (rematerialization — trades one extra tile matmul for
+never storing ft) and reproduces identical dropout bits by replaying the same
+per-tile PRNG stream. dW/dwa accumulations ride the sequential TPU grid
+(every step adds into the same revisited output block).
+
+Mosaic notes (learned the hard way): no gathers, no lane-dimension
+concatenates of narrow vectors — everything is expressed as static slices,
+slice stores, and 2-D masks; softmax groups are kept as separate gp/self
+parts instead of concatenated vectors.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _leaky(x, alpha):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def _dropout_masks(seed, tile_idx, tb, p, s, h_heads, attn_drop):
+    """Deterministic per-tile dropout masks, identical in fwd and bwd.
+
+    Generation order is part of the contract: per head, 2-D masks for
+    gp->anchor [TB, P], anchor self [TB, 1], sib-from-anchor [TB, S],
+    sib-self [TB, S], gp self-loops [TB, P].
+    """
+    if attn_drop <= 0.0:
+        return None
+    pltpu.prng_seed(seed + tile_idx)
+    scale = 1.0 / (1.0 - attn_drop)
+    thresh = np.uint32(int((1.0 - attn_drop) * 4294967296.0) & 0xFFFFFFFF)
+
+    def mask(shape):
+        bits = pltpu.prng_random_bits(shape)
+        keep = pltpu.bitcast(bits, jnp.uint32) < thresh
+        return keep.astype(jnp.float32) * scale
+
+    return [
+        (mask((tb, p)), mask((tb, 1)), mask((tb, s)), mask((tb, s)),
+         mask((tb, p)))
+        for _ in range(h_heads)
+    ]
+
+
+def _tile_attention(a1, a2, ngp, p, s, alpha, drop_masks, h):
+    """Attention for one head on a [TB, N] tile; all arrays stay 2-D and the
+    anchor softmax group is kept as separate (gp, self) parts.
+
+    Returns dict with raw softmax parts (sm_*) and post-dropout weights
+    (w_*): sm_gp2a/w_gp2a [TB, P], sm_selfa/w_selfa [TB, 1], sm_s0/w_s0 and
+    sm_s1/w_s1 [TB, S], w_gp [TB, P], gp_mask [TB, P].
+    """
+    tb = a1.shape[0]
+    gp_mask = jax.lax.broadcasted_iota(jnp.int32, (tb, p), 1) < ngp
+
+    # anchor destination: softmax over {gp_j} ∪ {self} without concatenation
+    lg_gp = _leaky(a1[:, :p] + a2[:, p:p + 1], alpha)          # [TB, P]
+    lg_self = _leaky(a1[:, p:p + 1] + a2[:, p:p + 1], alpha)   # [TB, 1]
+    lg_gp = jnp.where(gp_mask, lg_gp, NEG_INF)
+    m = jnp.maximum(jnp.max(lg_gp, axis=1, keepdims=True), lg_self)
+    e_gp = jnp.where(gp_mask, jnp.exp(lg_gp - m), 0.0)
+    e_self = jnp.exp(lg_self - m)
+    den = jnp.sum(e_gp, axis=1, keepdims=True) + e_self
+    sm_gp2a = e_gp / den
+    sm_selfa = e_self / den
+
+    # sibling destinations: 2-way softmax (anchor, self)
+    l0 = _leaky(a1[:, p:p + 1] + a2[:, p + 1:], alpha)         # [TB, S]
+    l1 = _leaky(a1[:, p + 1:] + a2[:, p + 1:], alpha)
+    m2 = jnp.maximum(l0, l1)
+    e0 = jnp.exp(l0 - m2)
+    e1 = jnp.exp(l1 - m2)
+    den2 = e0 + e1
+    sm_s0 = e0 / den2
+    sm_s1 = e1 / den2
+
+    w_gp = jnp.ones((tb, p), jnp.float32)
+    if drop_masks is not None:
+        d_gp2a, d_selfa, d_s0, d_s1, d_gp = drop_masks[h]
+        w_gp2a = sm_gp2a * d_gp2a
+        w_selfa = sm_selfa * d_selfa
+        w_s0 = sm_s0 * d_s0
+        w_s1 = sm_s1 * d_s1
+        w_gp = w_gp * d_gp
+    else:
+        w_gp2a, w_selfa, w_s0, w_s1 = sm_gp2a, sm_selfa, sm_s0, sm_s1
+    return dict(sm_gp2a=sm_gp2a, sm_selfa=sm_selfa, sm_s0=sm_s0, sm_s1=sm_s1,
+                w_gp2a=w_gp2a, w_selfa=w_selfa, w_s0=w_s0, w_s1=w_s1,
+                w_gp=w_gp, gp_mask=gp_mask)
+
+
+def _common_prologue(x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n):
+    tile = pl.program_id(0)
+    x = x_ref[:].reshape(tb * n, x_ref.shape[2])
+    ft = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+    a1 = jnp.dot(x, wa1_ref[:], preferred_element_type=jnp.float32)
+    a2 = jnp.dot(x, wa2_ref[:], preferred_element_type=jnp.float32)
+    row0 = pl.multiple_of(tile * tb, tb)
+    ngp = ngp_ref[pl.ds(row0, tb), :]
+    nsib = nsib_ref[pl.ds(row0, tb), :]
+    return tile, x, ft, a1, a2, ngp, nsib
+
+
+# ------------------------------------------------------------------- forward
+
+def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref,
+                out_ref, *, p, s, heads, dh, alpha, attn_drop):
+    tb = x_ref.shape[0]
+    n = p + 1 + s
+    tile, x, ft, a1, a2, ngp, nsib = _common_prologue(
+        x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n)
+    drop_masks = _dropout_masks(seed_ref[0], tile, tb, p, s, heads, attn_drop)
+
+    for h in range(heads):
+        fth = ft[:, h * dh:(h + 1) * dh].reshape(tb, n, dh)
+        a1h = a1[:, h:h + 1].reshape(tb, n)
+        a2h = a2[:, h:h + 1].reshape(tb, n)
+        at = _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
+        ft_gp = fth[:, :p]                                     # [TB, P, Dh]
+        ft_anchor = fth[:, p:p + 1]                            # [TB, 1, Dh]
+        ft_sib = fth[:, p + 1:]                                # [TB, S, Dh]
+        out_anchor = (
+            jnp.sum(jnp.expand_dims(at["w_gp2a"], 2) * ft_gp, axis=1,
+                    keepdims=True) +
+            jnp.expand_dims(at["w_selfa"], 2) * ft_anchor)     # [TB, 1, Dh]
+        out_sib = (jnp.expand_dims(at["w_s0"], 2) * ft_anchor +
+                   jnp.expand_dims(at["w_s1"], 2) * ft_sib)
+        out_gp = jnp.expand_dims(at["w_gp"], 2) * ft_gp
+        # slice stores — no slot-dim concatenation
+        cols = slice(h * dh, (h + 1) * dh)
+        out_ref[:, 0:p, cols] = out_gp.astype(out_ref.dtype)
+        out_ref[:, p:p + 1, cols] = out_anchor.astype(out_ref.dtype)
+        out_ref[:, p + 1:n, cols] = out_sib.astype(out_ref.dtype)
+
+
+# ------------------------------------------------------------------ backward
+
+def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref,
+                g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref,
+                dft_buf, da1_buf, da2_buf,
+                *, p, s, heads, dh, alpha, attn_drop):
+    tb = x_ref.shape[0]
+    n = p + 1 + s
+    tile, x, ft, a1, a2, ngp, nsib = _common_prologue(
+        x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n)
+
+    @pl.when(tile == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dwa1_ref[:] = jnp.zeros_like(dwa1_ref)
+        dwa2_ref[:] = jnp.zeros_like(dwa2_ref)
+
+    drop_masks = _dropout_masks(seed_ref[0], tile, tb, p, s, heads, attn_drop)
+
+    for h in range(heads):
+        fth = ft[:, h * dh:(h + 1) * dh].reshape(tb, n, dh)
+        a1h = a1[:, h:h + 1].reshape(tb, n)
+        a2h = a2[:, h:h + 1].reshape(tb, n)
+        gh = g_ref[:, :, h * dh:(h + 1) * dh].astype(jnp.float32)
+        at = _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
+
+        ft_gp = fth[:, :p]
+        ft_anchor = fth[:, p:p + 1]
+        ft_sib = fth[:, p + 1:]
+        g_gp = gh[:, :p]
+        g_anchor = gh[:, p:p + 1]
+        g_sib = gh[:, p + 1:]
+
+        # ---- dft (mirror of the aggregation, transposed) -------------------
+        dft_gp = (jnp.expand_dims(at["w_gp"], 2) * g_gp +
+                  jnp.expand_dims(at["w_gp2a"], 2) * g_anchor)
+        dft_anchor = (jnp.expand_dims(at["w_selfa"], 2) * g_anchor +
+                      jnp.sum(jnp.expand_dims(at["w_s0"], 2) * g_sib,
+                              axis=1, keepdims=True))
+        dft_sib = jnp.expand_dims(at["w_s1"], 2) * g_sib
+        cols = slice(h * dh, (h + 1) * dh)
+        dft_buf[:, 0:p, cols] = dft_gp
+        dft_buf[:, p:p + 1, cols] = dft_anchor
+        dft_buf[:, p + 1:n, cols] = dft_sib
+
+        # ---- attention-weight grads ---------------------------------------
+        dattn_gp2a = jnp.sum(g_anchor * ft_gp, axis=2)         # [TB, P]
+        dattn_selfa = jnp.sum(g_anchor * ft_anchor, axis=2)    # [TB, 1]
+        dattn_s0 = jnp.sum(g_sib * ft_anchor, axis=2)          # [TB, S]
+        dattn_s1 = jnp.sum(g_sib * ft_sib, axis=2)
+        # gp self-loop attention is a (dropped) constant -> no logit grads
+
+        if drop_masks is not None:   # chain through the dropout masks
+            d_gp2a, d_selfa, d_s0, d_s1, _ = drop_masks[h]
+            dattn_gp2a = dattn_gp2a * d_gp2a
+            dattn_selfa = dattn_selfa * d_selfa
+            dattn_s0 = dattn_s0 * d_s0
+            dattn_s1 = dattn_s1 * d_s1
+
+        # ---- softmax jacobian over the split (gp, self) anchor group -------
+        inner = (jnp.sum(at["sm_gp2a"] * dattn_gp2a, axis=1, keepdims=True) +
+                 at["sm_selfa"] * dattn_selfa)
+        dl_gp2a = at["sm_gp2a"] * (dattn_gp2a - inner)
+        dl_selfa = at["sm_selfa"] * (dattn_selfa - inner)
+        inner_s = at["sm_s0"] * dattn_s0 + at["sm_s1"] * dattn_s1
+        dl_s0 = at["sm_s0"] * (dattn_s0 - inner_s)
+        dl_s1 = at["sm_s1"] * (dattn_s1 - inner_s)
+
+        # ---- leaky_relu backward (recompute pre-activation signs) ----------
+        def dleaky(pre, g):
+            return jnp.where(pre >= 0, g, alpha * g)
+
+        dz_gp = jnp.where(at["gp_mask"],
+                          dleaky(a1h[:, :p] + a2h[:, p:p + 1], dl_gp2a), 0.0)
+        dz_self = dleaky(a1h[:, p:p + 1] + a2h[:, p:p + 1], dl_selfa)
+        dz_s0 = dleaky(a1h[:, p:p + 1] + a2h[:, p + 1:], dl_s0)
+        dz_s1 = dleaky(a1h[:, p + 1:] + a2h[:, p + 1:], dl_s1)
+
+        # ---- accumulate into da1 / da2 (closed form, slice stores) ---------
+        # gp_j -> anchor: da1[gp_j] += dz_gp_j ; da2[anchor] += dz_gp_j
+        # anchor self:    da1[anchor] += dz_self ; da2[anchor] += dz_self
+        # anchor -> sib:  da1[anchor] += dz_s0 ; da2[sib] += dz_s0
+        # sib self:       da1[sib] += dz_s1 ; da2[sib] += dz_s1
+        da1_buf[:, 0:p, h] = dz_gp
+        da1_buf[:, p:p + 1, h] = dz_self + jnp.sum(dz_s0, axis=1,
+                                                   keepdims=True)
+        da1_buf[:, p + 1:n, h] = dz_s1
+        da2_buf[:, 0:p, h] = jnp.zeros((tb, p), jnp.float32)
+        da2_buf[:, p:p + 1, h] = jnp.sum(dz_gp, axis=1, keepdims=True) \
+            + dz_self
+        da2_buf[:, p + 1:n, h] = dz_s0 + dz_s1
+
+    dft = dft_buf[:].reshape(tb * n, heads * dh)
+    da1_flat = da1_buf[:].reshape(tb * n, heads)
+    da2_flat = da2_buf[:].reshape(tb * n, heads)
+
+    # dx = dft @ W^T + da1 @ wa1^T + da2 @ wa2^T
+    dx = (jnp.dot(dft, w_ref[:].T, preferred_element_type=jnp.float32) +
+          jnp.dot(da1_flat, wa1_ref[:].T,
+                  preferred_element_type=jnp.float32) +
+          jnp.dot(da2_flat, wa2_ref[:].T,
+                  preferred_element_type=jnp.float32))
+    dx_ref[:] = dx.reshape(tb, n, -1).astype(dx_ref.dtype)
+
+    # parameter grads accumulate across sequential grid steps
+    xt = x.T
+    dw_ref[:] += jnp.dot(xt, dft, preferred_element_type=jnp.float32)
+    dwa1_ref[:] += jnp.dot(xt, da1_flat, preferred_element_type=jnp.float32)
+    dwa2_ref[:] += jnp.dot(xt, da2_flat, preferred_element_type=jnp.float32)
+
+
+# ----------------------------------------------------------------- dispatch
+
+def _pick_tile(b: int, n: int, din: int, hd: int, factor: int = 1) -> int:
+    """Largest power-of-two tile (<=16) whose working set fits in ~10 MB.
+
+    `factor=2` for the backward kernel (holds dft/dx/da alongside ft/g)."""
+    for tb in (16, 8, 4, 2, 1):
+        if b % tb:
+            continue
+        rows = tb * n
+        bytes_needed = factor * 4 * (rows * din + rows * hd * 2 + din * hd)
+        if bytes_needed <= 10 * 1024 * 1024:
+            return tb
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def fused_gat_layer(x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop,
+                    interpret):
+    """x: [B, N, Din]; fc: [Din, H*Dh]; wa1/wa2: [Din, H];
+    meta = (ngp [B], nsib [B], seed scalar). Returns [B, N, H*Dh]."""
+    out, _ = _fused_fwd(x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop,
+                        interpret)
+    return out
+
+
+def _fused_fwd(x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop, interpret):
+    ngp, nsib, seed = meta
+    b, n, din = x.shape
+    hd = fc.shape[1]
+    dh = hd // heads
+    s = n - p - 1
+    tb = _pick_tile(b, n, din, hd)
+    grid = (b // tb,)
+    kernel = functools.partial(_fwd_kernel, p=p, s=s, heads=heads, dh=dh,
+                               alpha=alpha, attn_drop=attn_drop)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
+                pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tb, n, hd), lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, hd), x.dtype),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
+      ngp.reshape(b, 1).astype(jnp.int32),
+      nsib.reshape(b, 1).astype(jnp.int32))
+    return out, (x, fc, wa1, wa2, meta)
+
+
+def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
+    x, fc, wa1, wa2, meta = residuals
+    ngp, nsib, seed = meta
+    b, n, din = x.shape
+    hd = fc.shape[1]
+    dh = hd // heads
+    s = n - p - 1
+    tb = _pick_tile(b, n, din, hd, factor=2)
+    grid = (b // tb,)
+    kernel = functools.partial(_bwd_kernel, p=p, s=s, heads=heads, dh=dh,
+                               alpha=alpha, attn_drop=attn_drop)
+    dx, dw, dwa1, dwa2 = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
+                pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
+                pl.BlockSpec((tb, n, hd), lambda i, *_: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tb, n, hd), jnp.float32),     # dft
+                pltpu.VMEM((tb, n, heads), jnp.float32),  # da1
+                pltpu.VMEM((tb, n, heads), jnp.float32),  # da2
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, din), x.dtype),
+            jax.ShapeDtypeStruct((din, hd), jnp.float32),
+            jax.ShapeDtypeStruct((din, heads), jnp.float32),
+            jax.ShapeDtypeStruct((din, heads), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
+      ngp.reshape(b, 1).astype(jnp.int32),
+      nsib.reshape(b, 1).astype(jnp.int32), g)
+    return dx, dw.astype(fc.dtype), dwa1.astype(wa1.dtype), \
+        dwa2.astype(wa2.dtype), None
+
+
+fused_gat_layer.defvjp(
+    lambda x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop, interpret:
+        _fused_fwd(x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop,
+                   interpret),
+    _fused_bwd)

@@ -78,7 +78,8 @@ def gat_attention_aggregate(ft: jax.Array, a1: jax.Array, a2: jax.Array,
                             ngp: jax.Array, nsib: jax.Array, p: int,
                             leaky_alpha: float = 0.2,
                             attn_drop: float = 0.0,
-                            rng: jax.Array | None = None) -> jax.Array:
+                            rng: jax.Array | None = None,
+                            mask_output: bool = True) -> jax.Array:
     """Fused SDDMM + edge_softmax + SpMM for multi-head GAT on the star.
 
     Computes, per destination node, softmax over its in-edges of
@@ -123,13 +124,29 @@ def gat_attention_aggregate(ft: jax.Array, a1: jax.Array, a2: jax.Array,
         attn_sib = keep(k2, attn_sib)
         attn_gp = keep(k3, attn_gp)
 
-    srcs_anchor = jnp.concatenate([ft[:, :p], ft[:, p][:, None]], axis=1)
-    out_anchor = jnp.einsum("bph,bphd->bhd", attn_anchor, srcs_anchor)
+    # aggregate in ft's dtype (bf16 mixed-precision path keeps the softmax
+    # in f32 above, then reads/writes the big tensors at half width)
+    attn_anchor = attn_anchor.astype(ft.dtype)
+    attn_sib = attn_sib.astype(ft.dtype)
+    attn_gp = attn_gp.astype(ft.dtype)
+
+    # HBM-traffic-minimal aggregation: the [B, N, H, Dh] ft tensor dominates
+    # bandwidth (e.g. 2.1 GB for the MAG-CS bench shape), so each slot block
+    # is read exactly once and nothing concatenates full-ft copies:
+    # - gp rows:    one elementwise pass over ft[:, :p]
+    # - anchor row: small einsum over the p gp slots + self term
+    # - sib rows:   one pass over ft[:, p+1:] + broadcast anchor term
+    out_anchor = (jnp.einsum("bph,bphd->bhd", attn_anchor[:, :p], ft[:, :p]) +
+                  attn_anchor[:, p][..., None] * ft[:, p])
     out_sib = (attn_sib[:, :, 0, :, None] * ft[:, p][:, None] +
                attn_sib[:, :, 1, :, None] * ft[:, p + 1:])
     out_gp = attn_gp[..., None] * ft[:, :p]
     out = jnp.concatenate([out_gp, out_anchor[:, None], out_sib], axis=1)
-    return out * node_mask(ngp, nsib, p, n)[..., None, None]
+    if mask_output:
+        # invalid slots never leak into valid outputs (their only out-edges
+        # are self-loops), so the model path skips this cleanup pass
+        out = out * node_mask(ngp, nsib, p, n)[..., None, None]
+    return out
 
 
 def readout(h: jax.Array, ngp: jax.Array, nsib: jax.Array, p: int,

@@ -55,7 +55,8 @@ class Trainer:
                  log_dir: str | Path | None = None,
                  rng_seed: int = 0,
                  start_epoch: int = 1,
-                 monitor_best: float | None = None):
+                 monitor_best: float | None = None,
+                 profile_dir: str | Path | None = None):
         self.model = model
         self.params = params
         self.optimizer = optimizer
@@ -100,6 +101,11 @@ class Trainer:
         self.base_rng = jax.random.PRNGKey(rng_seed)
         self._step_fn = None
         self._eval_fn = None
+        # profiling (the reference has none beyond steps_per_sec,
+        # SURVEY.md §5): trace a window of steps with jax.profiler
+        self.profile_dir = str(profile_dir) if profile_dir else None
+        self._profile_window = (10, 15)
+        self._profiling = False
 
         # device placement: params replicated, batches sharded on 'dp';
         # feature table either replicated or row-partitioned across 'dp'
@@ -193,19 +199,37 @@ class Trainer:
             self._step_fn = self._build_step()
         total_loss = 0.0
         n_batches = 0
+        n_egonets = 0
+        n_edges = 0
+        t_epoch = time.time()
         for batch_idx, batch in enumerate(self.train_loader):
             rng = jax.random.fold_in(self.base_rng,
                                      epoch * 1_000_003 + batch_idx)
+            if self.profile_dir and epoch == 1 and \
+                    batch_idx == self._profile_window[0]:
+                jax.profiler.start_trace(self.profile_dir)
+                self._profiling = True
+            n_egonets += int(np.asarray(batch.cand_mask).sum())
+            ngp = np.asarray(batch.ego.ngp)
+            nsib = np.asarray(batch.ego.nsib)
+            n_edges += int(ngp.sum() + nsib.sum() + (ngp + 1 + nsib).sum())
             batch = self._put_batch(batch)
             self.params, self.opt_state, loss = self._step_fn(
                 self.params, self.opt_state, batch, self.feature_table, rng)
             loss_val = float(loss)
+            if self._profiling and batch_idx == self._profile_window[1]:
+                jax.profiler.stop_trace()
+                self._profiling = False
             total_loss += loss_val
             n_batches += 1
             self.writer.set_step((epoch - 1) * len(self.train_loader)
                                  + batch_idx)
             self.writer.add_scalar("loss", loss_val)
-        log = {"loss": total_loss / max(n_batches, 1)}
+        dt = max(time.time() - t_epoch, 1e-9)
+        log = {"loss": total_loss / max(n_batches, 1),
+               "egonets_per_sec": round(n_egonets / dt, 1),
+               "edges_per_sec": round(n_edges / dt, 1)}
+        self.writer.add_scalar("edges_per_sec", n_edges / dt)
 
         if self.valid_loader is not None:
             log.update(self._valid_epoch(epoch))
