@@ -29,7 +29,7 @@ import numpy as np
 
 def build_workload(groups, group_size, max_parents, expand_factor, in_dim,
                    hidden_dim, out_dim, pos_dim, heads, num_nodes, seed=0,
-                   compute_dtype="bfloat16"):
+                   compute_dtype="bfloat16", kernel="auto"):
     import jax
     from taxoexpan_tpu.data.egobatch import EgoBatch, GroupBatch
     from taxoexpan_tpu.models import TaxoExpan
@@ -40,7 +40,7 @@ def build_workload(groups, group_size, max_parents, expand_factor, in_dim,
                       num_layers=1, heads=list(heads), feat_drop=0.1,
                       attn_drop=0.1, max_parents=max_parents,
                       expand_factor=expand_factor,
-                      compute_dtype=compute_dtype)
+                      compute_dtype=compute_dtype, kernel=kernel)
     params = model.init(jax.random.PRNGKey(0))
     b = groups * group_size
     n = max_parents + 1 + expand_factor
@@ -146,6 +146,13 @@ def main():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="activation compute dtype (bf16 = TPU production path)")
+    p.add_argument("--kernel", default="auto",
+                   choices=["auto", "pallas", "xla"],
+                   help="GAT layer implementation (auto = pallas on TPU)")
+    p.add_argument("--fast-rng", action="store_true",
+                   help="use the rbg PRNG (faster mask generation on some "
+                        "setups; experimental — hung with the pallas kernel "
+                        "on the axon relay)")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU (debug); default = real TPU chip")
     p.add_argument("--skip-baseline", action="store_true",
@@ -155,13 +162,23 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.fast_rng:
+        jax.config.update("jax_default_prng_impl", "rbg")
+    # persistent compile cache: cold Pallas compiles via the remote-compile
+    # relay can take many minutes; warm runs start in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind}", file=sys.stderr)
 
     model, params, batch, table, n_edges = build_workload(
         args.groups, args.group_size, args.max_parents, args.expand_factor,
         args.in_dim, args.hidden_dim, args.out_dim, args.pos_dim, [4, 1],
-        args.num_nodes, compute_dtype=args.dtype)
+        args.num_nodes, compute_dtype=args.dtype, kernel=args.kernel)
     print(f"# workload: {args.groups * args.group_size} egonets/step, "
           f"{n_edges} edges/step", file=sys.stderr)
 

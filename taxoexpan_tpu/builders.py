@@ -65,7 +65,8 @@ def build_model(arch_cfg: dict, *, max_parents: int,
         max_parents=max_parents,
         expand_factor=expand_factor,
         compute_dtype=a.get("compute_dtype", "float32"),
-        kernel=a.get("kernel", "auto"))
+        kernel=a.get("kernel", "auto"),
+        pos_mode=a.get("pos_mode", "bias"))
 
 
 def build_optimizer_from_config(opt_cfg: dict, trainer_cfg: dict | None = None):

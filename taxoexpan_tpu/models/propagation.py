@@ -86,37 +86,73 @@ def init_gat_layer(key, in_dim: int, out_dim: int, num_heads: int,
 def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
                     feat_drop: float, attn_drop: float, rng, train: bool,
                     residual: bool = False, dtype=jnp.float32,
-                    use_pallas: bool = False):
+                    use_pallas: bool = False, pos_emb=None):
     """One GATLayer forward (model_zoo.py:80-104). h: [B, N, Din] ->
     [B, N, H, Dh].
 
     `dtype=bfloat16` runs the bandwidth-dominant ft tensor and aggregation in
     bf16 (attention logits/softmax stay f32 for stability) — the [B, N, H, Dh]
-    activation traffic is the bottleneck on TPU, not the MXU."""
+    activation traffic is the bottleneck on TPU, not the MXU.
+
+    `pos_emb` ([N, pos_dim] per-slot position embeddings, or None): when
+    given, the layer consumes h WITHOUT the position columns and applies the
+    algebraic decomposition [h, pe] @ W = h @ W_h + pe @ W_p — the pe term is
+    a per-SLOT constant [N, H*Dh] bias, so the position concat (a full
+    [B, N, Din+pos] HBM pass) disappears. Exact in eval mode; in train mode
+    feat_drop then applies to h only, not the pe columns (the reference drops
+    the concatenated input, model_zoo.py:82 — see GAT.pos_mode)."""
     k_feat, k_attn = jax.random.split(rng)
     if feat_drop:
         h = dropout(k_feat, h, feat_drop, train)
     b, n, _ = h.shape
     h = h.astype(dtype)
-    fc = params["fc"].astype(dtype)
-    ft = (h @ fc).reshape(b, n, num_heads, -1)
+    din_h = h.shape[-1]
+    fc_full = params["fc"]
+    if pos_emb is not None:
+        w_h = fc_full[:din_h]
+        w_p = fc_full[din_h:]
+        bias_ft = (pos_emb @ w_p).astype(jnp.float32)         # [N, H*Dh]
+    else:
+        w_h = fc_full
+        bias_ft = None
+    fc = w_h.astype(dtype)
     # a1 = sum_d ft * attn_l == x @ (W . attn_l) — fold the attention dot
     # into a tiny matmul instead of two full passes over the ft tensor
-    dh = ft.shape[-1]
-    w_heads = params["fc"].reshape(-1, num_heads, dh)
-    wa1 = jnp.einsum("ihd,hd->ih", w_heads, params["attn_l"])
-    wa2 = jnp.einsum("ihd,hd->ih", w_heads, params["attn_r"])
+    dh = fc_full.shape[1] // num_heads
+    w_heads = fc_full.reshape(-1, num_heads, dh)
+    wa1_full = jnp.einsum("ihd,hd->ih", w_heads, params["attn_l"])
+    wa2_full = jnp.einsum("ihd,hd->ih", w_heads, params["attn_r"])
+    if pos_emb is not None:
+        wa1, wa2 = wa1_full[:din_h], wa2_full[:din_h]
+        bias_a1 = pos_emb @ wa1_full[din_h:]                   # [N, H]
+        bias_a2 = pos_emb @ wa2_full[din_h:]
+    else:
+        wa1, wa2 = wa1_full, wa2_full
+        bias_a1 = bias_a2 = None
     if use_pallas and not residual:
         from ..ops.pallas_gat import fused_gat_layer
         seed = jax.random.randint(k_attn, (), 0, 2_147_483_647, jnp.int32)
         interpret = jax.default_backend() != "tpu"
+        hd = fc.shape[1]
+        z_ft = bias_ft if bias_ft is not None else \
+            jnp.zeros((n, hd), jnp.float32)
+        z_a1 = bias_a1 if bias_a1 is not None else \
+            jnp.zeros((n, num_heads), jnp.float32)
+        z_a2 = bias_a2 if bias_a2 is not None else \
+            jnp.zeros((n, num_heads), jnp.float32)
         out = fused_gat_layer(
             h, fc, wa1.astype(dtype), wa2.astype(dtype),
+            z_ft, z_a1, z_a2,
             (ngp, nsib, seed), p_slots, num_heads, LEAKY_ALPHA,
             attn_drop if train else 0.0, interpret)
         return out.reshape(b, n, num_heads, -1)
+    ft = (h @ fc).reshape(b, n, num_heads, -1)
     a1 = (h @ wa1.astype(dtype)).astype(jnp.float32)   # [B, N, H]
     a2 = (h @ wa2.astype(dtype)).astype(jnp.float32)
+    if pos_emb is not None:
+        ft = ft + bias_ft.reshape(1, n, num_heads, dh).astype(ft.dtype)
+        a1 = a1 + bias_a1[None]
+        a2 = a2 + bias_a2[None]
     ret = star.gat_attention_aggregate(
         ft, a1, a2, ngp, nsib, p_slots,
         leaky_alpha=LEAKY_ALPHA,
@@ -190,10 +226,18 @@ class GAT:
                  pos_dim: int = 0, activation=leaky_relu,
                  feat_drop=0.5, attn_drop=0.5, residual=False,
                  position_vocab_size: int = 3, dtype=None,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, pos_mode: str = "bias"):
         import jax.numpy as _jnp
         self.dtype = dtype or _jnp.float32
         self.use_pallas = use_pallas
+        if pos_mode not in ("bias", "concat"):
+            raise ValueError(f"pos_mode must be bias|concat, got {pos_mode!r}")
+        # "bias": [h, pe] @ W == h @ W_h + pe @ W_p with the pe term folded
+        # into a per-slot constant (see apply_gat_layer) — saves a full
+        # [B, N, Din+pos] HBM pass per layer; exact in eval mode, and in
+        # train mode feat_drop no longer hits the pe columns (deviation from
+        # model_zoo.py:82; use "concat" for strict reference semantics).
+        self.pos_mode = pos_mode
         if len(heads) != num_layers + 1:
             raise ValueError(
                 f"heads must have num_layers+1 entries, got {heads} for "
@@ -228,14 +272,20 @@ class GAT:
 
     def apply(self, params, h, ngp, nsib, p_slots: int, *, rng, train: bool):
         b, n, _ = h.shape
+        use_bias_pos = self.pos_dim and self.pos_mode == "bias"
         if self.pos_dim:
             slot_pos = jnp.asarray(
                 star_slot_positions(p_slots, n), dtype=jnp.int32)
 
-        def with_pos(x, i):
+        def pos_of(i):
             if not self.pos_dim:
+                return None
+            return params["pos_emb"][i]["emb"][slot_pos]       # [N, pos_dim]
+
+        def with_pos(x, i):
+            if not self.pos_dim or use_bias_pos:
                 return x
-            pe = params["pos_emb"][i]["emb"][slot_pos].astype(x.dtype)
+            pe = pos_of(i).astype(x.dtype)
             return jnp.concatenate(
                 [x, jnp.broadcast_to(pe, (b, n, self.pos_dim))], axis=-1)
 
@@ -247,7 +297,8 @@ class GAT:
                                 feat_drop=self.feat_drop,
                                 attn_drop=self.attn_drop, rng=keys[l],
                                 train=train, residual=res, dtype=self.dtype,
-                                use_pallas=self.use_pallas)
+                                use_pallas=self.use_pallas,
+                                pos_emb=pos_of(l) if use_bias_pos else None)
             h = h.reshape(b, n, -1)        # flatten heads (model_zoo.py:186)
             h = self.activation(h)
         _, dout, nh, res = self.layer_specs[-1]
@@ -256,7 +307,9 @@ class GAT:
                             feat_drop=self.feat_drop,
                             attn_drop=self.attn_drop, rng=keys[-1],
                             train=train, residual=res, dtype=self.dtype,
-                            use_pallas=self.use_pallas)
+                            use_pallas=self.use_pallas,
+                            pos_emb=pos_of(self.num_layers)
+                            if use_bias_pos else None)
         # mean over heads (model_zoo.py:189); back to f32 for readout/matcher
         return h.mean(axis=2).astype(jnp.float32)
 

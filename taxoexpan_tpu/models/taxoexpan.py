@@ -42,7 +42,8 @@ class TaxoExpan:
                  max_parents: int = 8,
                  expand_factor: int = 50,
                  compute_dtype: str = "float32",
-                 kernel: str = "auto"):
+                 kernel: str = "auto",
+                 pos_mode: str = "bias"):
         if propagation_method not in PROPAGATION_KINDS:
             raise ValueError(
                 f"Unacceptable Graph Propagation Method: {propagation_method}")
@@ -83,7 +84,8 @@ class TaxoExpan:
                                  activation=leaky_relu, feat_drop=feat_drop,
                                  attn_drop=attn_drop,
                                  dtype=self.compute_dtype,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas,
+                                 pos_mode=pos_mode)
 
         self.readout = Readout(readout_method, out_dim)
         # l_dim from readout (x3 for CR), r_dim = query feature dim

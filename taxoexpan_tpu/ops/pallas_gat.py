@@ -127,7 +127,8 @@ def _common_prologue(x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n):
 
 # ------------------------------------------------------------------- forward
 
-def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref,
+def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
+                ba1_ref, ba2_ref, ngp_ref, nsib_ref,
                 out_ref, *, p, s, heads, dh, alpha, attn_drop):
     tb = x_ref.shape[0]
     n = p + 1 + s
@@ -136,9 +137,13 @@ def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref,
     drop_masks = _dropout_masks(seed_ref[0], tile, tb, p, s, heads, attn_drop)
 
     for h in range(heads):
-        fth = ft[:, h * dh:(h + 1) * dh].reshape(tb, n, dh)
-        a1h = a1[:, h:h + 1].reshape(tb, n)
-        a2h = a2[:, h:h + 1].reshape(tb, n)
+        cols_h = slice(h * dh, (h + 1) * dh)
+        fth = (ft[:, cols_h].reshape(tb, n, dh) +
+               bft_ref[:, cols_h].reshape(1, n, dh))
+        a1h = (a1[:, h:h + 1].reshape(tb, n) +
+               ba1_ref[:, h:h + 1].reshape(1, n))
+        a2h = (a2[:, h:h + 1].reshape(tb, n) +
+               ba2_ref[:, h:h + 1].reshape(1, n))
         at = _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
         ft_gp = fth[:, :p]                                     # [TB, P, Dh]
         ft_anchor = fth[:, p:p + 1]                            # [TB, 1, Dh]
@@ -159,8 +164,10 @@ def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref,
 
 # ------------------------------------------------------------------ backward
 
-def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref,
+def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
+                ba1_ref, ba2_ref, ngp_ref, nsib_ref,
                 g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref,
+                dbft_ref, dba1_ref, dba2_ref,
                 dft_buf, da1_buf, da2_buf,
                 *, p, s, heads, dh, alpha, attn_drop):
     tb = x_ref.shape[0]
@@ -173,13 +180,20 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref,
         dw_ref[:] = jnp.zeros_like(dw_ref)
         dwa1_ref[:] = jnp.zeros_like(dwa1_ref)
         dwa2_ref[:] = jnp.zeros_like(dwa2_ref)
+        dbft_ref[:] = jnp.zeros_like(dbft_ref)
+        dba1_ref[:] = jnp.zeros_like(dba1_ref)
+        dba2_ref[:] = jnp.zeros_like(dba2_ref)
 
     drop_masks = _dropout_masks(seed_ref[0], tile, tb, p, s, heads, attn_drop)
 
     for h in range(heads):
-        fth = ft[:, h * dh:(h + 1) * dh].reshape(tb, n, dh)
-        a1h = a1[:, h:h + 1].reshape(tb, n)
-        a2h = a2[:, h:h + 1].reshape(tb, n)
+        cols_h = slice(h * dh, (h + 1) * dh)
+        fth = (ft[:, cols_h].reshape(tb, n, dh) +
+               bft_ref[:, cols_h].reshape(1, n, dh))
+        a1h = (a1[:, h:h + 1].reshape(tb, n) +
+               ba1_ref[:, h:h + 1].reshape(1, n))
+        a2h = (a2[:, h:h + 1].reshape(tb, n) +
+               ba2_ref[:, h:h + 1].reshape(1, n))
         gh = g_ref[:, :, h * dh:(h + 1) * dh].astype(jnp.float32)
         at = _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
 
@@ -266,6 +280,10 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref,
     dw_ref[:] += jnp.dot(xt, dft, preferred_element_type=jnp.float32)
     dwa1_ref[:] += jnp.dot(xt, da1_flat, preferred_element_type=jnp.float32)
     dwa2_ref[:] += jnp.dot(xt, da2_flat, preferred_element_type=jnp.float32)
+    # slot-bias grads: sum the per-slot contributions over the tile batch
+    dbft_ref[:] += jnp.sum(dft_buf[:], axis=0)
+    dba1_ref[:] += jnp.sum(da1_buf[:], axis=0)
+    dba2_ref[:] += jnp.sum(da2_buf[:], axis=0)
 
 
 # ----------------------------------------------------------------- dispatch
@@ -284,17 +302,20 @@ def _pick_tile(b: int, n: int, din: int, hd: int, factor: int = 1) -> int:
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def fused_gat_layer(x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop,
-                    interpret):
-    """x: [B, N, Din]; fc: [Din, H*Dh]; wa1/wa2: [Din, H];
-    meta = (ngp [B], nsib [B], seed scalar). Returns [B, N, H*Dh]."""
-    out, _ = _fused_fwd(x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop,
-                        interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def fused_gat_layer(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
+                    heads, alpha, attn_drop, interpret):
+    """x: [B, N, Din]; fc: [Din, H*Dh]; wa1/wa2: [Din, H]; slot biases
+    bias_ft [N, H*Dh], bias_a1/bias_a2 [N, H] (position-embedding
+    decomposition — zeros when unused); meta = (ngp [B], nsib [B], seed).
+    Returns [B, N, H*Dh]."""
+    out, _ = _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
+                        heads, alpha, attn_drop, interpret)
     return out
 
 
-def _fused_fwd(x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop, interpret):
+def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads,
+               alpha, attn_drop, interpret):
     ngp, nsib, seed = meta
     b, n, din = x.shape
     hd = fc.shape[1]
@@ -314,6 +335,9 @@ def _fused_fwd(x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop, interpret):
                 pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
             ],
@@ -322,13 +346,15 @@ def _fused_fwd(x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop, interpret):
         out_shape=jax.ShapeDtypeStruct((b, n, hd), x.dtype),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
+      bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
+      bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
       nsib.reshape(b, 1).astype(jnp.int32))
-    return out, (x, fc, wa1, wa2, meta)
+    return out, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta)
 
 
 def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
-    x, fc, wa1, wa2, meta = residuals
+    x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta = residuals
     ngp, nsib, seed = meta
     b, n, din = x.shape
     hd = fc.shape[1]
@@ -338,7 +364,7 @@ def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
     grid = (b // tb,)
     kernel = functools.partial(_bwd_kernel, p=p, s=s, heads=heads, dh=dh,
                                alpha=alpha, attn_drop=attn_drop)
-    dx, dw, dwa1, dwa2 = pl.pallas_call(
+    dx, dw, dwa1, dwa2, dbft, dba1, dba2 = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -348,6 +374,9 @@ def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
                 pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
                 pl.BlockSpec((tb, n, hd), lambda i, *_: (i, 0, 0)),
@@ -357,6 +386,9 @@ def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
                 pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((tb, n, hd), jnp.float32),     # dft
@@ -369,17 +401,24 @@ def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
             jax.ShapeDtypeStruct((din, hd), jnp.float32),
             jax.ShapeDtypeStruct((din, heads), jnp.float32),
             jax.ShapeDtypeStruct((din, heads), jnp.float32),
+            jax.ShapeDtypeStruct((n, hd), jnp.float32),
+            jax.ShapeDtypeStruct((n, heads), jnp.float32),
+            jax.ShapeDtypeStruct((n, heads), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
+      bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
+      bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
       nsib.reshape(b, 1).astype(jnp.int32), g)
-    return dx, dw.astype(fc.dtype), dwa1.astype(wa1.dtype), \
-        dwa2.astype(wa2.dtype), None
+    return (dx, dw.astype(fc.dtype), dwa1.astype(wa1.dtype),
+            dwa2.astype(wa2.dtype), dbft.astype(bias_ft.dtype),
+            dba1.astype(bias_a1.dtype), dba2.astype(bias_a2.dtype), None)
 
 
 fused_gat_layer.defvjp(
-    lambda x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop, interpret:
-        _fused_fwd(x, fc, wa1, wa2, meta, p, heads, alpha, attn_drop,
-                   interpret),
+    lambda x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads, alpha,
+    attn_drop, interpret:
+        _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
+                   heads, alpha, attn_drop, interpret),
     _fused_bwd)

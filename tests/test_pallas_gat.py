@@ -41,8 +41,10 @@ def xla_reference(x, fc, al, ar, ngp, nsib):
 def fused(x, fc, al, ar, ngp, nsib):
     wa1 = jnp.einsum("ihd,hd->ih", fc.reshape(DIN, HEADS, DH), al)
     wa2 = jnp.einsum("ihd,hd->ih", fc.reshape(DIN, HEADS, DH), ar)
-    return fused_gat_layer(x, fc, wa1, wa2, (ngp, nsib, 0), P, HEADS, 0.2,
-                           0.0, True)
+    z_ft = jnp.zeros((N, HEADS * DH), jnp.float32)
+    z_a = jnp.zeros((N, HEADS), jnp.float32)
+    return fused_gat_layer(x, fc, wa1, wa2, z_ft, z_a, z_a, (ngp, nsib, 0),
+                           P, HEADS, 0.2, 0.0, True)
 
 
 def test_forward_matches(rng):

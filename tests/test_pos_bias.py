@@ -1,0 +1,65 @@
+"""pos_mode='bias' (fold position embeddings into per-slot biases) must match
+pos_mode='concat' exactly in eval mode, for both XLA and Pallas kernels, and
+pos-embedding gradients must flow through the bias decomposition."""
+import jax
+import numpy as np
+import pytest
+
+from taxoexpan_tpu.models import TaxoExpan
+from tests.test_model_and_losses import P, S, V, D, make_group_batch
+
+KW = dict(in_dim=D, hidden_dim=16, out_dim=8, pos_dim=4, num_layers=1,
+          heads=[2, 1], feat_drop=0.0, attn_drop=0.0, max_parents=P,
+          expand_factor=S)
+
+
+@pytest.mark.parametrize("kernel", ["xla", "pallas"])
+def test_bias_matches_concat_eval(rng, kernel):
+    m_concat = TaxoExpan("PGAT", "WMR", "BIM", kernel="xla",
+                         pos_mode="concat", **KW)
+    m_bias = TaxoExpan("PGAT", "WMR", "BIM", kernel=kernel,
+                       pos_mode="bias", **KW)
+    params = m_concat.init(jax.random.PRNGKey(0))
+    table = jax.numpy.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    batch = make_group_batch(rng, g=4, c=2)
+    s_ref = np.asarray(m_concat.forward(params, batch, table,
+                                        rng=jax.random.PRNGKey(1),
+                                        train=False))
+    s_bias = np.asarray(m_bias.forward(params, batch, table,
+                                       rng=jax.random.PRNGKey(1),
+                                       train=False))
+    np.testing.assert_allclose(s_bias, s_ref, rtol=2e-4, atol=1e-5)
+
+
+def test_pos_emb_grads_flow_through_bias(rng):
+    m = TaxoExpan("PGAT", "WMR", "BIM", kernel="pallas", pos_mode="bias",
+                  **KW)
+    params = m.init(jax.random.PRNGKey(0))
+    table = jax.numpy.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    batch = make_group_batch(rng, g=4, c=2)
+
+    def loss(p):
+        s = m.forward(p, batch, table, rng=jax.random.PRNGKey(1),
+                      train=False)
+        return (s ** 2).sum()
+
+    grads = jax.grad(loss)(params)
+    for pe in grads["propagate"]["pos_emb"]:
+        g = np.asarray(pe["emb"])
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0, "pos-embedding gradient vanished"
+
+    # and they match the concat path's gradients
+    m_ref = TaxoExpan("PGAT", "WMR", "BIM", kernel="xla", pos_mode="concat",
+                      **KW)
+
+    def loss_ref(p):
+        s = m_ref.forward(p, batch, table, rng=jax.random.PRNGKey(1),
+                          train=False)
+        return (s ** 2).sum()
+
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(grads)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-3,
+                                   atol=2e-4)
