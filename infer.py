@@ -59,8 +59,7 @@ def main(config, args_outer):
                                  expand_factor=sampler.expand_factor)
     logger.info("Loading checkpoint: %s ...", config.resume)
     state = ckpt_mod.load_checkpoint(config.resume)
-    params = ckpt_mod._rebind(model.init(jax.random.PRNGKey(0)),
-                              state["params"])
+    params = ckpt_mod.restore_params(state, model.init(jax.random.PRNGKey(0)))
 
     # anchors = every node of the test working graph (infer.py:79-80)
     train_ids = set(taxonomy.train_node_ids)

@@ -29,7 +29,12 @@ logger = logging.getLogger(__name__)
 class TaxonomyRanker:
     def __init__(self, model, params, sampler: MaskedGraphSampler,
                  feature_table, *, encode_chunk: int = 4096,
-                 query_chunk: int = 256, anchors: list[int] | None = None):
+                 query_chunk: int = 256, anchors: list[int] | None = None,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh — anchor-encoding chunks are
+        sharded over its 'dp' axis (the candidate-axis scale-out that
+        replaces the reference's single-GPU 30000-anchor chunking,
+        test_fast.py:149-179)."""
         self.model = model
         self.params = params
         self.sampler = sampler
@@ -41,6 +46,15 @@ class TaxonomyRanker:
         self.candidates = (sorted(anchors) if anchors is not None
                            else list(sampler.candidate_positions))
         self._hg = None
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ndev = mesh.shape["dp"]
+            if self.encode_chunk % ndev:
+                self.encode_chunk += ndev - self.encode_chunk % ndev
+            self._shard = NamedSharding(mesh, P("dp"))
+        else:
+            self._shard = None
 
         self._encode_jit = jax.jit(
             lambda p, feats, ngp, nsib: model.encode(
@@ -64,10 +78,16 @@ class TaxonomyRanker:
             pad = self.encode_chunk - len(egos)
             egos = egos + [([], 0, [])] * pad
             batch = make_ego_batch(egos, s.max_parents, s.expand_factor)
-            feats = self.model.gather_feats(table, _device_batch(batch))
+            if self._shard is not None:   # candidate-axis sharding over 'dp'
+                dev_batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(np.asarray(x), self._shard),
+                    batch)
+            else:
+                dev_batch = _device_batch(batch)
+            feats = self.model.gather_feats(table, dev_batch)
             hg = self._encode_jit(self.params, feats,
-                                  jax.numpy.asarray(batch.ngp),
-                                  jax.numpy.asarray(batch.nsib))
+                                  jax.numpy.asarray(dev_batch.ngp),
+                                  jax.numpy.asarray(dev_batch.nsib))
             chunks.append(np.asarray(hg)[:len(cand)])
         self._hg = np.concatenate(chunks, axis=0) if chunks else \
             np.zeros((0, 1), np.float32)

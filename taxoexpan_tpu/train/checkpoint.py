@@ -68,6 +68,12 @@ def restore_into(state: dict, *, params_template, opt_state_template,
     return params, opt_state
 
 
+def restore_params(state: dict, params_template):
+    """Re-bind just the model parameters from a checkpoint payload (the
+    eval/infer path — optimizer state not needed, test_fast.py:76-80)."""
+    return _rebind(params_template, state["params"])
+
+
 def _rebind(template, saved):
     t_leaves, treedef = jax.tree_util.tree_flatten(template)
     s_leaves = jax.tree_util.tree_leaves(saved)

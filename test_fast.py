@@ -34,8 +34,7 @@ def main(config, args_outer):
                                  expand_factor=sampler.expand_factor)
     logger.info("Loading checkpoint: %s ...", config.resume)
     state = ckpt_mod.load_checkpoint(config.resume)
-    template = model.init(jax.random.PRNGKey(0))
-    params = ckpt_mod._rebind(template, state["params"])
+    params = ckpt_mod.restore_params(state, model.init(jax.random.PRNGKey(0)))
 
     rank_mode = 1 if config["loss"].startswith("info_nce") else 0
     encode_chunk = args_outer.batch_size if args_outer.batch_size > 0 else 4096

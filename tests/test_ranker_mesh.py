@@ -1,0 +1,44 @@
+"""Mesh-sharded evaluation: candidate-axis sharding gives identical results
+to the single-device ranker."""
+import jax
+import numpy as np
+import pytest
+
+from taxoexpan_tpu import builders
+from taxoexpan_tpu.data.synthetic import synthetic_taxonomy
+from taxoexpan_tpu.evaluation import TaxonomyRanker
+from taxoexpan_tpu.parallel import data_parallel_mesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+CFG = {"batch_size": 16, "negative_size": 8, "expand_factor": 6,
+       "cache_refresh_time": 16, "normalize_embed": True, "num_workers": 0,
+       "sampling_mode": 0, "shuffle": False}
+ARCH = {"args": {"propagation_method": "PGAT", "readout_method": "WMR",
+                 "matching_method": "BIM", "in_dim": 16, "hidden_dim": 16,
+                 "out_dim": 16, "pos_dim": 4, "num_layers": 1,
+                 "heads": [2, 1], "feat_drop": 0.0, "attn_drop": 0.0,
+                 "hidden_drop": 0.0, "out_drop": 0.0}}
+
+
+def test_sharded_eval_matches_single():
+    taxo = synthetic_taxonomy(num_nodes=300, dim=16, seed=9)
+    sampler = builders.build_sampler(taxo, CFG, "test")
+    model = builders.build_model(ARCH, max_parents=sampler.max_parents,
+                                 expand_factor=sampler.expand_factor)
+    params = model.init(jax.random.PRNGKey(0))
+
+    single = TaxonomyRanker(model, params, sampler, sampler.node_features,
+                            encode_chunk=64, query_chunk=16)
+    res_single, _ = single.evaluate(["macro_mr", "mrr_scaled_10"], 1)
+
+    mesh = data_parallel_mesh()
+    sharded = TaxonomyRanker(model, params, sampler, sampler.node_features,
+                             encode_chunk=64, query_chunk=16, mesh=mesh)
+    res_sharded, _ = sharded.evaluate(["macro_mr", "mrr_scaled_10"], 1)
+
+    np.testing.assert_allclose(res_sharded["macro_mr"],
+                               res_single["macro_mr"], rtol=1e-5)
+    np.testing.assert_allclose(res_sharded["mrr_scaled_10"],
+                               res_single["mrr_scaled_10"], rtol=1e-5)
