@@ -314,9 +314,24 @@ def fused_gat_layer(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
     return out
 
 
+def _slot_pad(n: int) -> int:
+    """Pad the slot dimension to the bf16 sublane tile (16): Mosaic cannot
+    collapse [TB, N, D] -> [TB*N, D] when N is not tile-aligned. Extra slots
+    are appended as invalid SIBLINGS (beyond nsib), which contribute exactly
+    zero to outputs and gradients (zero features, masked attention)."""
+    return (-(-n // 16) * 16) - n
+
+
 def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads,
                alpha, attn_drop, interpret):
     ngp, nsib, seed = meta
+    b, n_orig, din = x.shape
+    pad = _slot_pad(n_orig)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        bias_ft = jnp.pad(bias_ft, ((0, pad), (0, 0)))
+        bias_a1 = jnp.pad(bias_a1, ((0, pad), (0, 0)))
+        bias_a2 = jnp.pad(bias_a2, ((0, pad), (0, 0)))
     b, n, din = x.shape
     hd = fc.shape[1]
     dh = hd // heads
@@ -350,13 +365,20 @@ def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads,
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
       nsib.reshape(b, 1).astype(jnp.int32))
+    if pad:
+        out = out[:, :n_orig]
     return out, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta)
 
 
 def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
+    # residual x / biases are already slot-padded by _fused_fwd
     x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta = residuals
     ngp, nsib, seed = meta
     b, n, din = x.shape
+    n_orig = g.shape[1]
+    pad = n - n_orig
+    if pad:
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
     hd = fc.shape[1]
     dh = hd // heads
     s = n - p - 1
@@ -411,6 +433,11 @@ def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
       nsib.reshape(b, 1).astype(jnp.int32), g)
+    if pad:
+        dx = dx[:, :n_orig]
+        dbft = dbft[:n_orig]
+        dba1 = dba1[:n_orig]
+        dba2 = dba2[:n_orig]
     return (dx, dw.astype(fc.dtype), dwa1.astype(wa1.dtype),
             dwa2.astype(wa2.dtype), dbft.astype(bias_ft.dtype),
             dba1.astype(bias_a1.dtype), dba2.astype(bias_a2.dtype), None)

@@ -55,8 +55,15 @@ def main(config):
     mesh = data_parallel_mesh() if n_dev > 1 else None
     if mesh is not None:
         logger.info("Data-parallel mesh over %d devices", n_dev)
+    # "parallel": {"feature_mode": "partitioned"} shards the embedding table
+    # across the mesh with all-to-all gathers (parallel/partition.py)
+    feature_mode = config.get("parallel", {}).get("feature_mode",
+                                                  "replicated")
+    if mesh is None:
+        feature_mode = "replicated"
 
     trainer = Trainer(model, params, optimizer, opt_state,
+                      feature_mode=feature_mode,
                       loss_name=config["loss"],
                       metric_names=config["metrics"],
                       feature_table=train_sampler.node_features,
