@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.egobatch import EgoBatch, GroupBatch
 from .matching import Matcher
@@ -99,6 +100,21 @@ class TaxoExpan:
         return {"propagate": self.propagate.init(kp),
                 "readout": self.readout.init(kr),
                 "match": self.matcher.init(km)}
+
+    @staticmethod
+    def num_params(params) -> int:
+        return sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+
+    def describe(self, params=None) -> str:
+        """Model summary with trainable-parameter count — the reference's
+        BaseModel.__str__ (base/base_model.py:14-25)."""
+        desc = (f"TaxoExpan(propagation={self.propagation_method}, "
+                f"readout={self.readout_method}, "
+                f"matching={self.matching_method})")
+        if params is not None:
+            desc += f"\nTrainable parameters: {self.num_params(params)}"
+        return desc
 
     # ------------------------------------------------------------------ stages
     def encode(self, params, feats: jax.Array, ngp: jax.Array,

@@ -72,3 +72,24 @@ def test_trainer_energy_losses(tmp_path, loss_name):
     assert trainer.rank_mode == 0  # energy losses rank by distance
     log = trainer._train_epoch(1)
     assert np.isfinite(log["loss"])
+
+
+def test_model_describe_and_split_loader(rng):
+    from taxoexpan_tpu.data.split_loader import SplitBatchLoader
+    model = TaxoExpan("GCN", "MR", "MLP", in_dim=8, hidden_dim=8, out_dim=8,
+                      max_parents=2, expand_factor=4)
+    params = model.init(jax.random.PRNGKey(0))
+    desc = model.describe(params)
+    assert "Trainable parameters:" in desc
+    assert model.num_params(params) > 0
+
+    data = list(range(100))
+    loader = SplitBatchLoader(data, batch_size=16, validation_split=0.2,
+                              seed=0)
+    val = loader.split_validation()
+    assert loader.n_samples == 80 and val.n_samples == 20
+    seen = [x for b in loader for x in b] + [x for b in val for x in b]
+    assert sorted(seen) == data
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        SplitBatchLoader(data, batch_size=4, validation_split=200)

@@ -41,10 +41,7 @@ def main(config):
         config["arch"], max_parents=train_sampler.max_parents,
         expand_factor=train_sampler.expand_factor)
     params = model.init(jax.random.PRNGKey(config.get("seed", 0)))
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    logger.info("Model: %s/%s/%s, %d trainable parameters",
-                model.propagation_method, model.readout_method,
-                model.matching_method, n_params)
+    logger.info("%s", model.describe(params))
 
     optimizer = builders.build_optimizer_from_config(
         config["optimizer"], config["trainer"])
