@@ -86,7 +86,8 @@ def init_gat_layer(key, in_dim: int, out_dim: int, num_heads: int,
 def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
                     feat_drop: float, attn_drop: float, rng, train: bool,
                     residual: bool = False, dtype=jnp.float32,
-                    use_pallas: bool = False, pos_emb=None):
+                    use_pallas: bool = False, pos_emb=None,
+                    fuse_out_alpha=None):
     """One GATLayer forward (model_zoo.py:80-104). h: [B, N, Din] ->
     [B, N, H, Dh].
 
@@ -102,7 +103,9 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
     feat_drop then applies to h only, not the pe columns (the reference drops
     the concatenated input, model_zoo.py:82 — see GAT.pos_mode)."""
     k_feat, k_attn = jax.random.split(rng)
-    if feat_drop:
+    fuse_pallas = use_pallas and not residual
+    if feat_drop and not fuse_pallas:
+        # XLA path; the pallas kernel fuses this dropout internally
         h = dropout(k_feat, h, feat_drop, train)
     b, n, _ = h.shape
     h = h.astype(dtype)
@@ -129,7 +132,7 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
     else:
         wa1, wa2 = wa1_full, wa2_full
         bias_a1 = bias_a2 = None
-    if use_pallas and not residual:
+    if fuse_pallas:
         from ..ops.pallas_gat import fused_gat_layer
         seed = jax.random.randint(k_attn, (), 0, 2_147_483_647, jnp.int32)
         interpret = jax.default_backend() != "tpu"
@@ -144,7 +147,9 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
             h, fc, wa1.astype(dtype), wa2.astype(dtype),
             z_ft, z_a1, z_a2,
             (ngp, nsib, seed), p_slots, num_heads, LEAKY_ALPHA,
-            attn_drop if train else 0.0, interpret)
+            attn_drop if train else 0.0,
+            feat_drop if train else 0.0,
+            fuse_out_alpha, interpret)
         return out.reshape(b, n, num_heads, -1)
     ft = (h @ fc).reshape(b, n, num_heads, -1)
     a1 = (h @ wa1.astype(dtype)).astype(jnp.float32)   # [B, N, H]
@@ -290,6 +295,10 @@ class GAT:
                 [x, jnp.broadcast_to(pe, (b, n, self.pos_dim))], axis=-1)
 
         keys = jax.random.split(rng, len(self.layer_specs))
+        # the fused kernel can apply the inter-layer activation
+        # (model_zoo.py:187, the stack's F.leaky_relu with torch's 0.01 slope)
+        fused_act = 0.01 if (self.use_pallas and
+                             self.activation is leaky_relu) else None
         for l in range(self.num_layers):
             _, dout, nh, res = self.layer_specs[l]
             h = apply_gat_layer(params["layers"][l], with_pos(h, l), ngp, nsib,
@@ -298,9 +307,11 @@ class GAT:
                                 attn_drop=self.attn_drop, rng=keys[l],
                                 train=train, residual=res, dtype=self.dtype,
                                 use_pallas=self.use_pallas,
-                                pos_emb=pos_of(l) if use_bias_pos else None)
+                                pos_emb=pos_of(l) if use_bias_pos else None,
+                                fuse_out_alpha=None if res else fused_act)
             h = h.reshape(b, n, -1)        # flatten heads (model_zoo.py:186)
-            h = self.activation(h)
+            if fused_act is None or res:
+                h = self.activation(h)
         _, dout, nh, res = self.layer_specs[-1]
         h = apply_gat_layer(params["layers"][-1], with_pos(h, self.num_layers),
                             ngp, nsib, p_slots, num_heads=nh,

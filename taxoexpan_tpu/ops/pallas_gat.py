@@ -41,29 +41,50 @@ def _leaky(x, alpha):
     return jnp.where(x >= 0, x, alpha * x)
 
 
-def _dropout_masks(seed, tile_idx, tb, p, s, h_heads, attn_drop):
+def _gen_masks(seed, tile_idx, tb, n, din, p, s, h_heads, feat_drop,
+               attn_drop, interpret):
     """Deterministic per-tile dropout masks, identical in fwd and bwd.
 
-    Generation order is part of the contract: per head, 2-D masks for
-    gp->anchor [TB, P], anchor self [TB, 1], sib-from-anchor [TB, S],
+    Generation ORDER is part of the contract: the input-feature mask
+    [TB*N, Din] first (when feat_drop > 0), then per head the attention
+    masks gp->anchor [TB, P], anchor self [TB, 1], sib-from-anchor [TB, S],
     sib-self [TB, S], gp self-loops [TB, P].
+
+    Compiled TPU kernels use the on-chip PRNG (pltpu.prng_*); interpret mode
+    (CPU) falls back to jax.random — bits differ across platforms but the
+    fwd/bwd replay is identical within a platform, which is all dropout needs.
     """
-    if attn_drop <= 0.0:
-        return None
-    pltpu.prng_seed(seed + tile_idx)
-    scale = 1.0 / (1.0 - attn_drop)
-    thresh = np.uint32(int((1.0 - attn_drop) * 4294967296.0) & 0xFFFFFFFF)
+    if feat_drop <= 0.0 and attn_drop <= 0.0:
+        return None, None
 
-    def mask(shape):
-        bits = pltpu.prng_random_bits(shape)
-        keep = pltpu.bitcast(bits, jnp.uint32) < thresh
-        return keep.astype(jnp.float32) * scale
+    if interpret:
+        state = {"key": jax.random.PRNGKey(seed + tile_idx), "i": 0}
 
-    return [
-        (mask((tb, p)), mask((tb, 1)), mask((tb, s)), mask((tb, s)),
-         mask((tb, p)))
-        for _ in range(h_heads)
-    ]
+        def mask(shape, rate):
+            state["i"] += 1
+            k = jax.random.fold_in(state["key"], state["i"])
+            keep = jax.random.bernoulli(k, 1.0 - rate, shape)
+            return keep.astype(jnp.float32) / (1.0 - rate)
+    else:
+        pltpu.prng_seed(seed + tile_idx)
+
+        def mask(shape, rate):
+            scale = 1.0 / (1.0 - rate)
+            thresh = np.uint32(int((1.0 - rate) * 4294967296.0) & 0xFFFFFFFF)
+            bits = pltpu.prng_random_bits(shape)
+            keep = pltpu.bitcast(bits, jnp.uint32) < thresh
+            return keep.astype(jnp.float32) * scale
+
+    feat_mask = mask((tb * n, din), feat_drop) if feat_drop > 0.0 else None
+    attn_masks = None
+    if attn_drop > 0.0:
+        attn_masks = [
+            (mask((tb, p), attn_drop), mask((tb, 1), attn_drop),
+             mask((tb, s), attn_drop), mask((tb, s), attn_drop),
+             mask((tb, p), attn_drop))
+            for _ in range(h_heads)
+        ]
+    return feat_mask, attn_masks
 
 
 def _tile_attention(a1, a2, ngp, p, s, alpha, drop_masks, h):
@@ -113,28 +134,36 @@ def _tile_attention(a1, a2, ngp, p, s, alpha, drop_masks, h):
                 w_gp=w_gp, gp_mask=gp_mask)
 
 
-def _common_prologue(x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n):
+def _common_prologue(x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb,
+                     n, seed, p, s, heads, feat_drop, attn_drop, interpret):
     tile = pl.program_id(0)
-    x = x_ref[:].reshape(tb * n, x_ref.shape[2])
+    din = x_ref.shape[2]
+    feat_mask, attn_masks = _gen_masks(seed, tile, tb, n, din, p, s, heads,
+                                       feat_drop, attn_drop, interpret)
+    x = x_ref[:].reshape(tb * n, din)
+    if feat_mask is not None:   # fused input dropout (model_zoo.py:82)
+        x = x * feat_mask.astype(x.dtype)
     ft = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
     a1 = jnp.dot(x, wa1_ref[:], preferred_element_type=jnp.float32)
     a2 = jnp.dot(x, wa2_ref[:], preferred_element_type=jnp.float32)
     row0 = pl.multiple_of(tile * tb, tb)
     ngp = ngp_ref[pl.ds(row0, tb), :]
     nsib = nsib_ref[pl.ds(row0, tb), :]
-    return tile, x, ft, a1, a2, ngp, nsib
+    return tile, x, ft, a1, a2, ngp, nsib, feat_mask, attn_masks
 
 
 # ------------------------------------------------------------------- forward
 
 def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                 ba1_ref, ba2_ref, ngp_ref, nsib_ref,
-                out_ref, *, p, s, heads, dh, alpha, attn_drop):
+                out_ref, *, p, s, heads, dh, alpha, attn_drop, feat_drop,
+                out_alpha, interpret):
     tb = x_ref.shape[0]
     n = p + 1 + s
-    tile, x, ft, a1, a2, ngp, nsib = _common_prologue(
-        x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n)
-    drop_masks = _dropout_masks(seed_ref[0], tile, tb, p, s, heads, attn_drop)
+    (tile, x, ft, a1, a2, ngp, nsib, _feat_mask,
+     drop_masks) = _common_prologue(
+        x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n,
+        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret)
 
     for h in range(heads):
         cols_h = slice(h * dh, (h + 1) * dh)
@@ -155,6 +184,10 @@ def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         out_sib = (jnp.expand_dims(at["w_s0"], 2) * ft_anchor +
                    jnp.expand_dims(at["w_s1"], 2) * ft_sib)
         out_gp = jnp.expand_dims(at["w_gp"], 2) * ft_gp
+        if out_alpha is not None:   # fused inter-layer activation
+            out_gp = _leaky(out_gp, out_alpha)
+            out_anchor = _leaky(out_anchor, out_alpha)
+            out_sib = _leaky(out_sib, out_alpha)
         # slice stores — no slot-dim concatenation
         cols = slice(h * dh, (h + 1) * dh)
         out_ref[:, 0:p, cols] = out_gp.astype(out_ref.dtype)
@@ -169,11 +202,14 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                 g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref,
                 dbft_ref, dba1_ref, dba2_ref,
                 dft_buf, da1_buf, da2_buf,
-                *, p, s, heads, dh, alpha, attn_drop):
+                *, p, s, heads, dh, alpha, attn_drop, feat_drop, out_alpha,
+                interpret):
     tb = x_ref.shape[0]
     n = p + 1 + s
-    tile, x, ft, a1, a2, ngp, nsib = _common_prologue(
-        x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n)
+    (tile, x, ft, a1, a2, ngp, nsib, feat_mask,
+     drop_masks) = _common_prologue(
+        x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n,
+        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret)
 
     @pl.when(tile == 0)
     def _init():
@@ -183,8 +219,6 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         dbft_ref[:] = jnp.zeros_like(dbft_ref)
         dba1_ref[:] = jnp.zeros_like(dba1_ref)
         dba2_ref[:] = jnp.zeros_like(dba2_ref)
-
-    drop_masks = _dropout_masks(seed_ref[0], tile, tb, p, s, heads, attn_drop)
 
     for h in range(heads):
         cols_h = slice(h * dh, (h + 1) * dh)
@@ -203,6 +237,21 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         g_gp = gh[:, :p]
         g_anchor = gh[:, p:p + 1]
         g_sib = gh[:, p + 1:]
+
+        if out_alpha is not None:
+            # fused output activation: recompute the pre-activation output
+            # and chain the incoming grads through leaky'(pre)
+            pre_anchor = (
+                jnp.sum(jnp.expand_dims(at["w_gp2a"], 2) * ft_gp, axis=1,
+                        keepdims=True) +
+                jnp.expand_dims(at["w_selfa"], 2) * ft_anchor)
+            pre_sib = (jnp.expand_dims(at["w_s0"], 2) * ft_anchor +
+                       jnp.expand_dims(at["w_s1"], 2) * ft_sib)
+            pre_gp = jnp.expand_dims(at["w_gp"], 2) * ft_gp
+            dact = lambda pre, g: jnp.where(pre >= 0, g, out_alpha * g)
+            g_gp = dact(pre_gp, g_gp)
+            g_anchor = dact(pre_anchor, g_anchor)
+            g_sib = dact(pre_sib, g_sib)
 
         # ---- dft (mirror of the aggregation, transposed) -------------------
         dft_gp = (jnp.expand_dims(at["w_gp"], 2) * g_gp +
@@ -273,6 +322,8 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                   preferred_element_type=jnp.float32) +
           jnp.dot(da2_flat, wa2_ref[:].T,
                   preferred_element_type=jnp.float32))
+    if feat_mask is not None:   # chain through the fused input dropout
+        dx = dx * feat_mask
     dx_ref[:] = dx.reshape(tb, n, -1).astype(dx_ref.dtype)
 
     # parameter grads accumulate across sequential grid steps
@@ -302,15 +353,17 @@ def _pick_tile(b: int, n: int, din: int, hd: int, factor: int = 1) -> int:
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def fused_gat_layer(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
-                    heads, alpha, attn_drop, interpret):
+                    heads, alpha, attn_drop, feat_drop, out_alpha, interpret):
     """x: [B, N, Din]; fc: [Din, H*Dh]; wa1/wa2: [Din, H]; slot biases
     bias_ft [N, H*Dh], bias_a1/bias_a2 [N, H] (position-embedding
     decomposition — zeros when unused); meta = (ngp [B], nsib [B], seed).
-    Returns [B, N, H*Dh]."""
+    feat_drop > 0 fuses the input-feature dropout; out_alpha (float or None)
+    fuses the inter-layer leaky_relu activation. Returns [B, N, H*Dh]."""
     out, _ = _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
-                        heads, alpha, attn_drop, interpret)
+                        heads, alpha, attn_drop, feat_drop, out_alpha,
+                        interpret)
     return out
 
 
@@ -323,7 +376,7 @@ def _slot_pad(n: int) -> int:
 
 
 def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads,
-               alpha, attn_drop, interpret):
+               alpha, attn_drop, feat_drop, out_alpha, interpret):
     ngp, nsib, seed = meta
     b, n_orig, din = x.shape
     pad = _slot_pad(n_orig)
@@ -339,7 +392,9 @@ def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads,
     tb = _pick_tile(b, n, din, hd)
     grid = (b // tb,)
     kernel = functools.partial(_fwd_kernel, p=p, s=s, heads=heads, dh=dh,
-                               alpha=alpha, attn_drop=attn_drop)
+                               alpha=alpha, attn_drop=attn_drop,
+                               feat_drop=feat_drop, out_alpha=out_alpha,
+                               interpret=interpret)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -370,7 +425,8 @@ def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads,
     return out, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta)
 
 
-def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
+def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
+               residuals, g):
     # residual x / biases are already slot-padded by _fused_fwd
     x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta = residuals
     ngp, nsib, seed = meta
@@ -385,7 +441,9 @@ def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
     tb = _pick_tile(b, n, din, hd, factor=2)
     grid = (b // tb,)
     kernel = functools.partial(_bwd_kernel, p=p, s=s, heads=heads, dh=dh,
-                               alpha=alpha, attn_drop=attn_drop)
+                               alpha=alpha, attn_drop=attn_drop,
+                               feat_drop=feat_drop, out_alpha=out_alpha,
+                               interpret=interpret)
     dx, dw, dwa1, dwa2, dbft, dba1, dba2 = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -445,7 +503,7 @@ def _fused_bwd(p, heads, alpha, attn_drop, interpret, residuals, g):
 
 fused_gat_layer.defvjp(
     lambda x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads, alpha,
-    attn_drop, interpret:
+    attn_drop, feat_drop, out_alpha, interpret:
         _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
-                   heads, alpha, attn_drop, interpret),
+                   heads, alpha, attn_drop, feat_drop, out_alpha, interpret),
     _fused_bwd)

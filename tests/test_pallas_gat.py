@@ -44,7 +44,7 @@ def fused(x, fc, al, ar, ngp, nsib):
     z_ft = jnp.zeros((N, HEADS * DH), jnp.float32)
     z_a = jnp.zeros((N, HEADS), jnp.float32)
     return fused_gat_layer(x, fc, wa1, wa2, z_ft, z_a, z_a, (ngp, nsib, 0),
-                           P, HEADS, 0.2, 0.0, True)
+                           P, HEADS, 0.2, 0.0, 0.0, None, True)
 
 
 def test_forward_matches(rng):
@@ -88,3 +88,33 @@ def test_degenerate_fanouts(rng, ngp_val, nsib_val):
     got = np.asarray(fused(x, fc, al, ar, ngp, nsib))
     mask = np.asarray(star.node_mask(ngp, nsib, P, N))
     np.testing.assert_allclose(got[mask], want[mask], rtol=1e-4, atol=1e-5)
+
+
+def test_fused_dropout_and_activation_gradcheck(rng):
+    """Finite-difference gradcheck with fused feat/attn dropout and output
+    activation: validates that the backward kernel replays the identical
+    dropout masks and chains through leaky'(pre)."""
+    x, fc, al, ar, ngp, nsib = make_inputs(rng)
+    wa1 = jnp.einsum("ihd,hd->ih", fc.reshape(DIN, HEADS, DH), al)
+    wa2 = jnp.einsum("ihd,hd->ih", fc.reshape(DIN, HEADS, DH), ar)
+    z_ft = jnp.zeros((N, HEADS * DH), jnp.float32)
+    z_a = jnp.zeros((N, HEADS), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, N, HEADS * DH)).astype(np.float32))
+
+    def f(xv):
+        out = fused_gat_layer(xv, fc, wa1, wa2, z_ft, z_a, z_a,
+                              (ngp, nsib, 123), P, HEADS, 0.2,
+                              0.3, 0.4, 0.01, True)
+        return (out * cot).sum()
+
+    g = jax.grad(f)(x)
+    # check a handful of coordinates against central differences
+    eps = 1e-3
+    idx = [(0, P, 0), (1, 0, 2), (2, P + 1, 3), (3, P, 5)]
+    for (i, j, k) in idx:
+        xp = x.at[i, j, k].add(eps)
+        xm = x.at[i, j, k].add(-eps)
+        num = (f(xp) - f(xm)) / (2 * eps)
+        ana = g[i, j, k]
+        np.testing.assert_allclose(float(ana), float(num), rtol=5e-2,
+                                   atol=5e-3)
