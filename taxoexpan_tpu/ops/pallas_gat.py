@@ -316,21 +316,29 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
     da1_flat = da1_buf[:].reshape(tb * n, heads)
     da2_flat = da2_buf[:].reshape(tb * n, heads)
 
-    # dx = dft @ W^T + da1 @ wa1^T + da2 @ wa2^T
-    dx = (jnp.dot(dft, w_ref[:].T, preferred_element_type=jnp.float32) +
-          jnp.dot(da1_flat, wa1_ref[:].T,
-                  preferred_element_type=jnp.float32) +
-          jnp.dot(da2_flat, wa2_ref[:].T,
-                  preferred_element_type=jnp.float32))
+    # dx = dft @ W^T + da1 @ wa1^T + da2 @ wa2^T — expressed as dot_general
+    # contractions over the shared dim so no transpose is materialized in
+    # VMEM on every grid step
+    def dot_nt(a, b):   # [M, K] x [N, K] -> [M, N]
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def dot_tn(a, b):   # [K, M] x [K, N] -> [M, N]
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dx = (dot_nt(dft, w_ref[:]) + dot_nt(da1_flat, wa1_ref[:]) +
+          dot_nt(da2_flat, wa2_ref[:]))
     if feat_mask is not None:   # chain through the fused input dropout
         dx = dx * feat_mask
     dx_ref[:] = dx.reshape(tb, n, -1).astype(dx_ref.dtype)
 
     # parameter grads accumulate across sequential grid steps
-    xt = x.T
-    dw_ref[:] += jnp.dot(xt, dft, preferred_element_type=jnp.float32)
-    dwa1_ref[:] += jnp.dot(xt, da1_flat, preferred_element_type=jnp.float32)
-    dwa2_ref[:] += jnp.dot(xt, da2_flat, preferred_element_type=jnp.float32)
+    dw_ref[:] += dot_tn(x, dft)
+    dwa1_ref[:] += dot_tn(x, da1_flat)
+    dwa2_ref[:] += dot_tn(x, da2_flat)
     # slot-bias grads: sum the per-slot contributions over the tile batch
     dbft_ref[:] += jnp.sum(dft_buf[:], axis=0)
     dba1_ref[:] += jnp.sum(da1_buf[:], axis=0)

@@ -260,6 +260,13 @@ class Trainer:
                 totals[i] += val
                 self.writer.add_scalar(self.metric_names[i], val)
             n_batches += 1
+        # parameter histograms per validation epoch (trainer.py:119-120)
+        if self.writer.writer is not None:
+            for path, leaf in jax.tree_util.tree_flatten_with_path(
+                    self.params)[0]:
+                name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                                for k in path)
+                self.writer.add_histogram(name, np.asarray(leaf))
         return {"val_metrics": (totals / max(n_batches, 1)).tolist()}
 
     # ------------------------------------------------------------------ train
