@@ -87,7 +87,7 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
                     feat_drop: float, attn_drop: float, rng, train: bool,
                     residual: bool = False, dtype=jnp.float32,
                     use_pallas: bool = False, pos_emb=None,
-                    fuse_out_alpha=None):
+                    fuse_out_alpha=None, pool_output: bool = False):
     """One GATLayer forward (model_zoo.py:80-104). h: [B, N, Din] ->
     [B, N, H, Dh].
 
@@ -132,8 +132,11 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
     else:
         wa1, wa2 = wa1_full, wa2_full
         bias_a1 = bias_a2 = None
+    if pool_output and not fuse_pallas:
+        raise ValueError("pool_output requires the fused Pallas path "
+                         "(use_pallas=True, residual=False)")
     if fuse_pallas:
-        from ..ops.pallas_gat import fused_gat_layer
+        from ..ops.pallas_gat import fused_gat_layer, fused_gat_layer_pooled
         seed = jax.random.randint(k_attn, (), 0, 2_147_483_647, jnp.int32)
         interpret = jax.default_backend() != "tpu"
         hd = fc.shape[1]
@@ -143,6 +146,14 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
             jnp.zeros((n, num_heads), jnp.float32)
         z_a2 = bias_a2 if bias_a2 is not None else \
             jnp.zeros((n, num_heads), jnp.float32)
+        if pool_output:
+            # final layer fused with head mean + readout class pools
+            return fused_gat_layer_pooled(
+                h, fc, wa1.astype(dtype), wa2.astype(dtype),
+                z_ft, z_a1, z_a2,
+                (ngp, nsib, seed), p_slots, num_heads, LEAKY_ALPHA,
+                attn_drop if train else 0.0,
+                feat_drop if train else 0.0, interpret)
         out = fused_gat_layer(
             h, fc, wa1.astype(dtype), wa2.astype(dtype),
             z_ft, z_a1, z_a2,
@@ -275,7 +286,11 @@ class GAT:
                     keys[2 * i + 1], self.position_vocab_size, self.pos_dim))
         return params
 
-    def apply(self, params, h, ngp, nsib, p_slots: int, *, rng, train: bool):
+    def apply(self, params, h, ngp, nsib, p_slots: int, *, rng, train: bool,
+              pool_readout: bool = False):
+        """pool_readout=True (fused-Pallas final layers only): return readout
+        class pools [B, 3, out_dim] f32 instead of per-slot activations —
+        feed to ops/star.py:readout_from_pools."""
         b, n, _ = h.shape
         use_bias_pos = self.pos_dim and self.pos_mode == "bias"
         if self.pos_dim:
@@ -320,7 +335,10 @@ class GAT:
                             train=train, residual=res, dtype=self.dtype,
                             use_pallas=self.use_pallas,
                             pos_emb=pos_of(self.num_layers)
-                            if use_bias_pos else None)
+                            if use_bias_pos else None,
+                            pool_output=pool_readout)
+        if pool_readout:
+            return h                                       # [B, 3, out_dim]
         # mean over heads (model_zoo.py:189); back to f32 for readout/matcher
         return h.mean(axis=2).astype(jnp.float32)
 

@@ -123,9 +123,28 @@ class TaxoExpan:
 
         The `encode_graph` stage of evaluation (test_fast.py:25-28):
         graph_propagate + readout, no matcher.
+
+        On the fused-Pallas GAT path the final layer emits per-position-class
+        readout pools [B, 3, out_dim] directly (head mean + masked class sums
+        fused into the kernel) and the readout becomes a tiny epilogue on the
+        pools — the [B, N, H*Dh] final activation never round-trips HBM.
         """
-        h = self.propagate.apply(params["propagate"], feats, ngp, nsib,
-                                 self.max_parents, rng=rng, train=train)
+        from ..ops import star
+        prop = self.propagate
+        fuse_readout = (self.readout_method in ("MR", "WMR", "CR", "SUM")
+                        and isinstance(prop, GAT) and prop.use_pallas
+                        and not prop.layer_specs[-1][3])   # final not residual
+        if fuse_readout:
+            pools = prop.apply(params["propagate"], feats, ngp, nsib,
+                               self.max_parents, rng=rng, train=train,
+                               pool_readout=True)
+            pw = params["readout"].get("emb") \
+                if self.readout_method == "WMR" else None
+            return star.readout_from_pools(pools, ngp, nsib,
+                                           kind=self.readout_method,
+                                           position_weights=pw)
+        h = prop.apply(params["propagate"], feats, ngp, nsib,
+                       self.max_parents, rng=rng, train=train)
         return self.readout.apply(params["readout"], h, ngp, nsib,
                                   self.max_parents)
 

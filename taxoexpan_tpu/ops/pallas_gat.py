@@ -195,7 +195,126 @@ def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         out_ref[:, p + 1:n, cols] = out_sib.astype(out_ref.dtype)
 
 
+# ------------------------------------------------ forward, pooled (readout)
+
+def _fwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
+                     ba1_ref, ba2_ref, ngp_ref, nsib_ref,
+                     out_ref, *, p, s, heads, dh, alpha, attn_drop, feat_drop,
+                     interpret):
+    """Final-layer variant that fuses the head mean + per-position-class
+    readout pools: instead of the [TB, N, H*Dh] slot outputs it writes
+    pools [TB, 3, Dh] = (sum over valid gp slots, anchor, sum over valid
+    sibling slots) of the head-averaged aggregation — the input of every
+    readout kind except MAX (ops/star.py:readout_from_pools). Saves the
+    [B, N, H*Dh] HBM round-trip of the final layer + XLA readout pass."""
+    tb = x_ref.shape[0]
+    n = p + 1 + s
+    (tile, x, ft, a1, a2, ngp, nsib, _feat_mask,
+     drop_masks) = _common_prologue(
+        x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n,
+        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret)
+    sib_mask = jax.lax.broadcasted_iota(jnp.int32, (tb, s), 1) < nsib
+
+    pool_gp = jnp.zeros((tb, dh), jnp.float32)
+    pool_anchor = jnp.zeros((tb, dh), jnp.float32)
+    pool_sib = jnp.zeros((tb, dh), jnp.float32)
+    for h in range(heads):
+        cols_h = slice(h * dh, (h + 1) * dh)
+        fth = (ft[:, cols_h].reshape(tb, n, dh).astype(jnp.float32) +
+               bft_ref[:, cols_h].reshape(1, n, dh))
+        a1h = (a1[:, h:h + 1].reshape(tb, n) +
+               ba1_ref[:, h:h + 1].reshape(1, n))
+        a2h = (a2[:, h:h + 1].reshape(tb, n) +
+               ba2_ref[:, h:h + 1].reshape(1, n))
+        at = _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
+        ft_gp = fth[:, :p]
+        ft_anchor = fth[:, p:p + 1]
+        ft_sib = fth[:, p + 1:]
+        out_anchor = (
+            jnp.sum(jnp.expand_dims(at["w_gp2a"], 2) * ft_gp, axis=1) +
+            at["w_selfa"] * ft_anchor[:, 0])                   # [TB, Dh]
+        out_sib = (jnp.expand_dims(at["w_s0"], 2) * ft_anchor +
+                   jnp.expand_dims(at["w_s1"], 2) * ft_sib)    # [TB, S, Dh]
+        out_gp = jnp.expand_dims(at["w_gp"], 2) * ft_gp        # [TB, P, Dh]
+        # validity masks: padded slots carry the slot bias -> must be zeroed
+        # here (the per-slot kernel leaves them to the XLA readout's mask)
+        pool_gp += jnp.sum(
+            jnp.where(jnp.expand_dims(at["gp_mask"], 2), out_gp, 0.0), axis=1)
+        pool_anchor += out_anchor
+        pool_sib += jnp.sum(
+            jnp.where(jnp.expand_dims(sib_mask, 2), out_sib, 0.0), axis=1)
+    inv_h = 1.0 / heads   # mean over heads (model_zoo.py:189)
+    out_ref[:, 0, :] = (pool_gp * inv_h).astype(out_ref.dtype)
+    out_ref[:, 1, :] = (pool_anchor * inv_h).astype(out_ref.dtype)
+    out_ref[:, 2, :] = (pool_sib * inv_h).astype(out_ref.dtype)
+
+
 # ------------------------------------------------------------------ backward
+
+def _bwd_head_core(at, a1h, a2h, ft_gp, ft_anchor, ft_sib, g_gp, g_anchor,
+                   g_sib, drop_masks, h, p, s, n, tb, dh, alpha,
+                   dft_buf, da1_buf, da2_buf):
+    """Shared per-head backward body: incoming per-slot grads (g_gp [TB,P,Dh],
+    g_anchor [TB,1,Dh], g_sib [TB,S,Dh]) -> dft / da1 / da2 buffer writes."""
+    # ---- dft (mirror of the aggregation, transposed) -------------------
+    dft_gp = (jnp.expand_dims(at["w_gp"], 2) * g_gp +
+              jnp.expand_dims(at["w_gp2a"], 2) * g_anchor)
+    dft_anchor = (jnp.expand_dims(at["w_selfa"], 2) * g_anchor +
+                  jnp.sum(jnp.expand_dims(at["w_s0"], 2) * g_sib,
+                          axis=1, keepdims=True))
+    dft_sib = jnp.expand_dims(at["w_s1"], 2) * g_sib
+    cols = slice(h * dh, (h + 1) * dh)
+    dft_buf[:, 0:p, cols] = dft_gp
+    dft_buf[:, p:p + 1, cols] = dft_anchor
+    dft_buf[:, p + 1:n, cols] = dft_sib
+
+    # ---- attention-weight grads ---------------------------------------
+    dattn_gp2a = jnp.sum(g_anchor * ft_gp, axis=2)         # [TB, P]
+    dattn_selfa = jnp.sum(g_anchor * ft_anchor, axis=2)    # [TB, 1]
+    dattn_s0 = jnp.sum(g_sib * ft_anchor, axis=2)          # [TB, S]
+    dattn_s1 = jnp.sum(g_sib * ft_sib, axis=2)
+    # gp self-loop attention is a (dropped) constant -> no logit grads
+
+    if drop_masks is not None:   # chain through the dropout masks
+        d_gp2a, d_selfa, d_s0, d_s1, _ = drop_masks[h]
+        dattn_gp2a = dattn_gp2a * d_gp2a
+        dattn_selfa = dattn_selfa * d_selfa
+        dattn_s0 = dattn_s0 * d_s0
+        dattn_s1 = dattn_s1 * d_s1
+
+    # ---- softmax jacobian over the split (gp, self) anchor group -------
+    inner = (jnp.sum(at["sm_gp2a"] * dattn_gp2a, axis=1, keepdims=True) +
+             at["sm_selfa"] * dattn_selfa)
+    dl_gp2a = at["sm_gp2a"] * (dattn_gp2a - inner)
+    dl_selfa = at["sm_selfa"] * (dattn_selfa - inner)
+    inner_s = at["sm_s0"] * dattn_s0 + at["sm_s1"] * dattn_s1
+    dl_s0 = at["sm_s0"] * (dattn_s0 - inner_s)
+    dl_s1 = at["sm_s1"] * (dattn_s1 - inner_s)
+
+    # ---- leaky_relu backward (recompute pre-activation signs) ----------
+    def dleaky(pre, g):
+        return jnp.where(pre >= 0, g, alpha * g)
+
+    dz_gp = jnp.where(at["gp_mask"],
+                      dleaky(a1h[:, :p] + a2h[:, p:p + 1], dl_gp2a), 0.0)
+    dz_self = dleaky(a1h[:, p:p + 1] + a2h[:, p:p + 1], dl_selfa)
+    dz_s0 = dleaky(a1h[:, p:p + 1] + a2h[:, p + 1:], dl_s0)
+    dz_s1 = dleaky(a1h[:, p + 1:] + a2h[:, p + 1:], dl_s1)
+
+    # ---- accumulate into da1 / da2 (closed form, slice stores) ---------
+    # gp_j -> anchor: da1[gp_j] += dz_gp_j ; da2[anchor] += dz_gp_j
+    # anchor self:    da1[anchor] += dz_self ; da2[anchor] += dz_self
+    # anchor -> sib:  da1[anchor] += dz_s0 ; da2[sib] += dz_s0
+    # sib self:       da1[sib] += dz_s1 ; da2[sib] += dz_s1
+    da1_buf[:, 0:p, h] = dz_gp
+    da1_buf[:, p:p + 1, h] = dz_self + jnp.sum(dz_s0, axis=1,
+                                               keepdims=True)
+    da1_buf[:, p + 1:n, h] = dz_s1
+    da2_buf[:, 0:p, h] = jnp.zeros((tb, p), jnp.float32)
+    da2_buf[:, p:p + 1, h] = jnp.sum(dz_gp, axis=1, keepdims=True) \
+        + dz_self
+    da2_buf[:, p + 1:n, h] = dz_s0 + dz_s1
+
 
 def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                 ba1_ref, ba2_ref, ngp_ref, nsib_ref,
@@ -253,65 +372,19 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
             g_anchor = dact(pre_anchor, g_anchor)
             g_sib = dact(pre_sib, g_sib)
 
-        # ---- dft (mirror of the aggregation, transposed) -------------------
-        dft_gp = (jnp.expand_dims(at["w_gp"], 2) * g_gp +
-                  jnp.expand_dims(at["w_gp2a"], 2) * g_anchor)
-        dft_anchor = (jnp.expand_dims(at["w_selfa"], 2) * g_anchor +
-                      jnp.sum(jnp.expand_dims(at["w_s0"], 2) * g_sib,
-                              axis=1, keepdims=True))
-        dft_sib = jnp.expand_dims(at["w_s1"], 2) * g_sib
-        cols = slice(h * dh, (h + 1) * dh)
-        dft_buf[:, 0:p, cols] = dft_gp
-        dft_buf[:, p:p + 1, cols] = dft_anchor
-        dft_buf[:, p + 1:n, cols] = dft_sib
+        _bwd_head_core(at, a1h, a2h, ft_gp, ft_anchor, ft_sib,
+                       g_gp, g_anchor, g_sib, drop_masks, h, p, s, n, tb, dh,
+                       alpha, dft_buf, da1_buf, da2_buf)
 
-        # ---- attention-weight grads ---------------------------------------
-        dattn_gp2a = jnp.sum(g_anchor * ft_gp, axis=2)         # [TB, P]
-        dattn_selfa = jnp.sum(g_anchor * ft_anchor, axis=2)    # [TB, 1]
-        dattn_s0 = jnp.sum(g_sib * ft_anchor, axis=2)          # [TB, S]
-        dattn_s1 = jnp.sum(g_sib * ft_sib, axis=2)
-        # gp self-loop attention is a (dropped) constant -> no logit grads
+    _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref,
+                  dft_buf, da1_buf, da2_buf, dx_ref, dw_ref, dwa1_ref,
+                  dwa2_ref, dbft_ref, dba1_ref, dba2_ref, tb, n, heads, dh)
 
-        if drop_masks is not None:   # chain through the dropout masks
-            d_gp2a, d_selfa, d_s0, d_s1, _ = drop_masks[h]
-            dattn_gp2a = dattn_gp2a * d_gp2a
-            dattn_selfa = dattn_selfa * d_selfa
-            dattn_s0 = dattn_s0 * d_s0
-            dattn_s1 = dattn_s1 * d_s1
 
-        # ---- softmax jacobian over the split (gp, self) anchor group -------
-        inner = (jnp.sum(at["sm_gp2a"] * dattn_gp2a, axis=1, keepdims=True) +
-                 at["sm_selfa"] * dattn_selfa)
-        dl_gp2a = at["sm_gp2a"] * (dattn_gp2a - inner)
-        dl_selfa = at["sm_selfa"] * (dattn_selfa - inner)
-        inner_s = at["sm_s0"] * dattn_s0 + at["sm_s1"] * dattn_s1
-        dl_s0 = at["sm_s0"] * (dattn_s0 - inner_s)
-        dl_s1 = at["sm_s1"] * (dattn_s1 - inner_s)
-
-        # ---- leaky_relu backward (recompute pre-activation signs) ----------
-        def dleaky(pre, g):
-            return jnp.where(pre >= 0, g, alpha * g)
-
-        dz_gp = jnp.where(at["gp_mask"],
-                          dleaky(a1h[:, :p] + a2h[:, p:p + 1], dl_gp2a), 0.0)
-        dz_self = dleaky(a1h[:, p:p + 1] + a2h[:, p:p + 1], dl_selfa)
-        dz_s0 = dleaky(a1h[:, p:p + 1] + a2h[:, p + 1:], dl_s0)
-        dz_s1 = dleaky(a1h[:, p + 1:] + a2h[:, p + 1:], dl_s1)
-
-        # ---- accumulate into da1 / da2 (closed form, slice stores) ---------
-        # gp_j -> anchor: da1[gp_j] += dz_gp_j ; da2[anchor] += dz_gp_j
-        # anchor self:    da1[anchor] += dz_self ; da2[anchor] += dz_self
-        # anchor -> sib:  da1[anchor] += dz_s0 ; da2[sib] += dz_s0
-        # sib self:       da1[sib] += dz_s1 ; da2[sib] += dz_s1
-        da1_buf[:, 0:p, h] = dz_gp
-        da1_buf[:, p:p + 1, h] = dz_self + jnp.sum(dz_s0, axis=1,
-                                                   keepdims=True)
-        da1_buf[:, p + 1:n, h] = dz_s1
-        da2_buf[:, 0:p, h] = jnp.zeros((tb, p), jnp.float32)
-        da2_buf[:, p:p + 1, h] = jnp.sum(dz_gp, axis=1, keepdims=True) \
-            + dz_self
-        da2_buf[:, p + 1:n, h] = dz_s0 + dz_s1
-
+def _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref, dft_buf, da1_buf,
+                  da2_buf, dx_ref, dw_ref, dwa1_ref, dwa2_ref, dbft_ref,
+                  dba1_ref, dba2_ref, tb, n, heads, dh):
+    """Shared backward epilogue: dft/da buffers -> dx and parameter grads."""
     dft = dft_buf[:].reshape(tb * n, heads * dh)
     da1_flat = da1_buf[:].reshape(tb * n, heads)
     da2_flat = da2_buf[:].reshape(tb * n, heads)
@@ -343,6 +416,64 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
     dbft_ref[:] += jnp.sum(dft_buf[:], axis=0)
     dba1_ref[:] += jnp.sum(da1_buf[:], axis=0)
     dba2_ref[:] += jnp.sum(da2_buf[:], axis=0)
+
+
+def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
+                     ba1_ref, ba2_ref, ngp_ref, nsib_ref,
+                     g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref,
+                     dbft_ref, dba1_ref, dba2_ref,
+                     dft_buf, da1_buf, da2_buf,
+                     *, p, s, heads, dh, alpha, attn_drop, feat_drop,
+                     interpret):
+    """Backward of _fwd_pool_kernel: g_ref holds d(pools) [TB, 3, Dh]; the
+    per-slot incoming grads are its class rows broadcast over valid slots,
+    scaled by the 1/heads of the fused head mean."""
+    tb = x_ref.shape[0]
+    n = p + 1 + s
+    (tile, x, ft, a1, a2, ngp, nsib, feat_mask,
+     drop_masks) = _common_prologue(
+        x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n,
+        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret)
+    sib_mask = jax.lax.broadcasted_iota(jnp.int32, (tb, s), 1) < nsib
+
+    @pl.when(tile == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dwa1_ref[:] = jnp.zeros_like(dwa1_ref)
+        dwa2_ref[:] = jnp.zeros_like(dwa2_ref)
+        dbft_ref[:] = jnp.zeros_like(dbft_ref)
+        dba1_ref[:] = jnp.zeros_like(dba1_ref)
+        dba2_ref[:] = jnp.zeros_like(dba2_ref)
+
+    inv_h = 1.0 / heads
+    g0 = g_ref[:, 0, :].astype(jnp.float32) * inv_h     # [TB, Dh]
+    g1 = g_ref[:, 1, :].astype(jnp.float32) * inv_h
+    g2 = g_ref[:, 2, :].astype(jnp.float32) * inv_h
+    for h in range(heads):
+        cols_h = slice(h * dh, (h + 1) * dh)
+        fth = (ft[:, cols_h].reshape(tb, n, dh).astype(jnp.float32) +
+               bft_ref[:, cols_h].reshape(1, n, dh))
+        a1h = (a1[:, h:h + 1].reshape(tb, n) +
+               ba1_ref[:, h:h + 1].reshape(1, n))
+        a2h = (a2[:, h:h + 1].reshape(tb, n) +
+               ba2_ref[:, h:h + 1].reshape(1, n))
+        at = _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
+        ft_gp = fth[:, :p]
+        ft_anchor = fth[:, p:p + 1]
+        ft_sib = fth[:, p + 1:]
+        # per-slot grads from the class pools, masked to valid slots
+        g_gp = jnp.where(jnp.expand_dims(at["gp_mask"], 2),
+                         jnp.expand_dims(g0, 1), 0.0)          # [TB, P, Dh]
+        g_anchor = jnp.expand_dims(g1, 1)                      # [TB, 1, Dh]
+        g_sib = jnp.where(jnp.expand_dims(sib_mask, 2),
+                          jnp.expand_dims(g2, 1), 0.0)         # [TB, S, Dh]
+        _bwd_head_core(at, a1h, a2h, ft_gp, ft_anchor, ft_sib,
+                       g_gp, g_anchor, g_sib, drop_masks, h, p, s, n, tb, dh,
+                       alpha, dft_buf, da1_buf, da2_buf)
+
+    _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref,
+                  dft_buf, da1_buf, da2_buf, dx_ref, dw_ref, dwa1_ref,
+                  dwa2_ref, dbft_ref, dba1_ref, dba2_ref, tb, n, heads, dh)
 
 
 # ----------------------------------------------------------------- dispatch
@@ -507,6 +638,148 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
     return (dx, dw.astype(fc.dtype), dwa1.astype(wa1.dtype),
             dwa2.astype(wa2.dtype), dbft.astype(bias_ft.dtype),
             dba1.astype(bias_a1.dtype), dba2.astype(bias_a2.dtype), None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def fused_gat_layer_pooled(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta,
+                           p, heads, alpha, attn_drop, feat_drop, interpret):
+    """Final-layer GAT with the head mean + position-class readout pools
+    fused in: returns pools [B, 3, Dh] f32 = (sum over valid grandparent
+    slots, anchor, sum over valid sibling slots) of the head-averaged
+    aggregated output. Every readout kind except MAX is a cheap XLA epilogue
+    on the pools (ops/star.py:readout_from_pools) — the [B, N, H*Dh] final
+    activation never touches HBM. Args as fused_gat_layer (no out_alpha:
+    the output layer has no stack activation, model_zoo.py:189)."""
+    out, _ = _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2,
+                               meta, p, heads, alpha, attn_drop, feat_drop,
+                               interpret)
+    return out
+
+
+def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
+                      heads, alpha, attn_drop, feat_drop, interpret):
+    ngp, nsib, seed = meta
+    b, n_orig, din = x.shape
+    pad = _slot_pad(n_orig)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        bias_ft = jnp.pad(bias_ft, ((0, pad), (0, 0)))
+        bias_a1 = jnp.pad(bias_a1, ((0, pad), (0, 0)))
+        bias_a2 = jnp.pad(bias_a2, ((0, pad), (0, 0)))
+    b, n, din = x.shape
+    hd = fc.shape[1]
+    dh = hd // heads
+    s = n - p - 1
+    tb = _pick_tile(b, n, din, hd)
+    grid = (b // tb,)
+    kernel = functools.partial(_fwd_pool_kernel, p=p, s=s, heads=heads, dh=dh,
+                               alpha=alpha, attn_drop=attn_drop,
+                               feat_drop=feat_drop, interpret=interpret)
+    pools = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
+                pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tb, 3, dh), lambda i, *_: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 3, dh), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
+      bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
+      bias_a2.astype(jnp.float32),
+      ngp.reshape(b, 1).astype(jnp.int32),
+      nsib.reshape(b, 1).astype(jnp.int32))
+    return pools, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, n_orig)
+
+
+def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
+                      residuals, g):
+    # residual x / biases are already slot-padded by _fused_pooled_fwd
+    x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, n_orig = residuals
+    ngp, nsib, seed = meta
+    b, n, din = x.shape
+    hd = fc.shape[1]
+    dh = hd // heads
+    s = n - p - 1
+    tb = _pick_tile(b, n, din, hd, factor=2)
+    grid = (b // tb,)
+    kernel = functools.partial(_bwd_pool_kernel, p=p, s=s, heads=heads, dh=dh,
+                               alpha=alpha, attn_drop=attn_drop,
+                               feat_drop=feat_drop, interpret=interpret)
+    dx, dw, dwa1, dwa2, dbft, dba1, dba2 = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
+                pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
+                pl.BlockSpec((tb, 3, dh), lambda i, *_: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, hd), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
+                pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tb, n, hd), jnp.float32),     # dft
+                pltpu.VMEM((tb, n, heads), jnp.float32),  # da1
+                pltpu.VMEM((tb, n, heads), jnp.float32),  # da2
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, din), x.dtype),
+            jax.ShapeDtypeStruct((din, hd), jnp.float32),
+            jax.ShapeDtypeStruct((din, heads), jnp.float32),
+            jax.ShapeDtypeStruct((din, heads), jnp.float32),
+            jax.ShapeDtypeStruct((n, hd), jnp.float32),
+            jax.ShapeDtypeStruct((n, heads), jnp.float32),
+            jax.ShapeDtypeStruct((n, heads), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
+      bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
+      bias_a2.astype(jnp.float32),
+      ngp.reshape(b, 1).astype(jnp.int32),
+      nsib.reshape(b, 1).astype(jnp.int32), g.astype(jnp.float32))
+    if n > n_orig:   # undo the slot padding of _fused_pooled_fwd
+        dx = dx[:, :n_orig]
+        dbft = dbft[:n_orig]
+        dba1 = dba1[:n_orig]
+        dba2 = dba2[:n_orig]
+    return (dx, dw.astype(fc.dtype), dwa1.astype(wa1.dtype),
+            dwa2.astype(wa2.dtype), dbft.astype(bias_ft.dtype),
+            dba1.astype(bias_a1.dtype), dba2.astype(bias_a2.dtype), None)
+
+
+fused_gat_layer_pooled.defvjp(
+    lambda x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads, alpha,
+    attn_drop, feat_drop, interpret:
+        _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta,
+                          p, heads, alpha, attn_drop, feat_drop, interpret),
+    _fused_pooled_bwd)
 
 
 fused_gat_layer.defvjp(

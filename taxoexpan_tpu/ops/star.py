@@ -184,3 +184,28 @@ def readout(h: jax.Array, ngp: jax.Array, nsib: jax.Array, p: int,
         neg = jnp.where(mask.astype(bool), h, NEG_INF)
         return neg.max(axis=1)
     raise ValueError(f"unknown readout kind {kind!r}")
+
+
+def readout_from_pools(pools: jax.Array, ngp: jax.Array, nsib: jax.Array,
+                       kind: str = "MR",
+                       position_weights: jax.Array | None = None) -> jax.Array:
+    """Readout from per-position-class pooled sums [B, 3, D] (class order:
+    grandparents, anchor, siblings; already validity-masked and
+    head-averaged) — the output of the fused Pallas final layer
+    (ops/pallas_gat.py:fused_gat_layer_pooled). Same results as `readout`
+    on the per-slot tensor for every kind except MAX (which is not a linear
+    pool and keeps the per-slot path)."""
+    counts = (ngp + 1 + nsib).astype(pools.dtype)[:, None]          # [B, 1]
+    if kind == "MR":
+        return pools.sum(axis=1) / counts
+    if kind == "WMR":
+        if position_weights is None:
+            raise ValueError("WMR needs position_weights [3, 1]")
+        w = jax.nn.softplus(position_weights)[:, 0]                  # [3]
+        return jnp.einsum("bcd,c->bd", pools, w) / counts
+    if kind == "CR":
+        return jnp.concatenate(
+            [pools[:, 0], pools[:, 1], pools[:, 2]], axis=1) / counts
+    if kind == "SUM":
+        return pools.sum(axis=1)
+    raise ValueError(f"unsupported pooled readout kind {kind!r}")
