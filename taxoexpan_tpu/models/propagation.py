@@ -99,9 +99,12 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
     given, the layer consumes h WITHOUT the position columns and applies the
     algebraic decomposition [h, pe] @ W = h @ W_h + pe @ W_p — the pe term is
     a per-SLOT constant [N, H*Dh] bias, so the position concat (a full
-    [B, N, Din+pos] HBM pass) disappears. Exact in eval mode; in train mode
-    feat_drop then applies to h only, not the pe columns (the reference drops
-    the concatenated input, model_zoo.py:82 — see GAT.pos_mode)."""
+    [B, N, Din+pos] HBM pass) disappears. On the fused Pallas path this is
+    exact in train mode too: with feat_drop > 0 the kernel draws its own
+    per-node keep-mask over the pe columns (pe_pack, ops/pallas_gat.py),
+    matching the reference's dropout of the full concatenated input
+    (model_zoo.py:82). Only the non-Pallas XLA path with feat_drop > 0
+    deviates (pe columns not dropped) — use pos_mode="concat" there."""
     k_feat, k_attn = jax.random.split(rng)
     fuse_pallas = use_pallas and not residual
     if feat_drop and not fuse_pallas:
@@ -140,6 +143,15 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
         seed = jax.random.randint(k_attn, (), 0, 2_147_483_647, jnp.int32)
         interpret = jax.default_backend() != "tpu"
         hd = fc.shape[1]
+        # exact pe dropout (model_zoo.py:82): in train mode with feat_drop,
+        # hand the kernel the raw pe + W_p splits so it can mask the pe
+        # columns per node instead of using the constant per-slot bias
+        pe_pack = None
+        if pos_emb is not None and train and feat_drop > 0:
+            pe_pack = (pos_emb.astype(jnp.float32), w_p.astype(jnp.float32),
+                       wa1_full[din_h:].astype(jnp.float32),
+                       wa2_full[din_h:].astype(jnp.float32))
+            bias_ft = bias_a1 = bias_a2 = None
         z_ft = bias_ft if bias_ft is not None else \
             jnp.zeros((n, hd), jnp.float32)
         z_a1 = bias_a1 if bias_a1 is not None else \
@@ -150,13 +162,13 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
             # final layer fused with head mean + readout class pools
             return fused_gat_layer_pooled(
                 h, fc, wa1.astype(dtype), wa2.astype(dtype),
-                z_ft, z_a1, z_a2,
+                z_ft, z_a1, z_a2, pe_pack,
                 (ngp, nsib, seed), p_slots, num_heads, LEAKY_ALPHA,
                 attn_drop if train else 0.0,
                 feat_drop if train else 0.0, interpret)
         out = fused_gat_layer(
             h, fc, wa1.astype(dtype), wa2.astype(dtype),
-            z_ft, z_a1, z_a2,
+            z_ft, z_a1, z_a2, pe_pack,
             (ngp, nsib, seed), p_slots, num_heads, LEAKY_ALPHA,
             attn_drop if train else 0.0,
             feat_drop if train else 0.0,

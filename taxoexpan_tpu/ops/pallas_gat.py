@@ -42,12 +42,14 @@ def _leaky(x, alpha):
 
 
 def _gen_masks(seed, tile_idx, tb, n, din, p, s, h_heads, feat_drop,
-               attn_drop, interpret):
+               attn_drop, interpret, pos_dim=0):
     """Deterministic per-tile dropout masks, identical in fwd and bwd.
 
     Generation ORDER is part of the contract: the input-feature mask
-    [TB*N, Din] first (when feat_drop > 0), then per head the attention
-    masks gp->anchor [TB, P], anchor self [TB, 1], sib-from-anchor [TB, S],
+    [TB*N, Din] first (when feat_drop > 0), then the position-embedding
+    column mask [TB*N, pos_dim] (when pos_dim > 0 — the pe-dropout path,
+    see fused_gat_layer's pe_pack), then per head the attention masks
+    gp->anchor [TB, P], anchor self [TB, 1], sib-from-anchor [TB, S],
     sib-self [TB, S], gp self-loops [TB, P].
 
     Compiled TPU kernels use the on-chip PRNG (pltpu.prng_*); interpret mode
@@ -55,7 +57,7 @@ def _gen_masks(seed, tile_idx, tb, n, din, p, s, h_heads, feat_drop,
     fwd/bwd replay is identical within a platform, which is all dropout needs.
     """
     if feat_drop <= 0.0 and attn_drop <= 0.0:
-        return None, None
+        return None, None, None
 
     if interpret:
         state = {"key": jax.random.PRNGKey(seed + tile_idx), "i": 0}
@@ -76,6 +78,8 @@ def _gen_masks(seed, tile_idx, tb, n, din, p, s, h_heads, feat_drop,
             return keep.astype(jnp.float32) * scale
 
     feat_mask = mask((tb * n, din), feat_drop) if feat_drop > 0.0 else None
+    pe_mask = (mask((tb * n, pos_dim), feat_drop)
+               if pos_dim and feat_drop > 0.0 else None)
     attn_masks = None
     if attn_drop > 0.0:
         attn_masks = [
@@ -84,7 +88,7 @@ def _gen_masks(seed, tile_idx, tb, n, din, p, s, h_heads, feat_drop,
              mask((tb, p), attn_drop))
             for _ in range(h_heads)
         ]
-    return feat_mask, attn_masks
+    return feat_mask, pe_mask, attn_masks
 
 
 def _tile_attention(a1, a2, ngp, p, s, alpha, drop_masks, h):
@@ -135,35 +139,63 @@ def _tile_attention(a1, a2, ngp, p, s, alpha, drop_masks, h):
 
 
 def _common_prologue(x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb,
-                     n, seed, p, s, heads, feat_drop, attn_drop, interpret):
+                     n, seed, p, s, heads, feat_drop, attn_drop, interpret,
+                     pe_refs=None):
+    """pe_refs = (pe_ref [N, pos], wp_ref [pos, H*Dh], wpa1/wpa2_ref
+    [pos, H]) or None. When given, the position-embedding columns of the
+    reference's concatenated layer input get their own fused dropout mask
+    and their (masked) contribution is added to ft/a1/a2 — exact
+    model_zoo.py:82 semantics for pos_mode="bias" training. Returns the
+    masked pe rows (pe_b [TB*N, pos]) and their mask for the backward."""
     tile = pl.program_id(0)
     din = x_ref.shape[2]
-    feat_mask, attn_masks = _gen_masks(seed, tile, tb, n, din, p, s, heads,
-                                       feat_drop, attn_drop, interpret)
+    pos_dim = pe_refs[0].shape[1] if pe_refs is not None else 0
+    feat_mask, pe_mask, attn_masks = _gen_masks(
+        seed, tile, tb, n, din, p, s, heads, feat_drop, attn_drop, interpret,
+        pos_dim=pos_dim)
     x = x_ref[:].reshape(tb * n, din)
     if feat_mask is not None:   # fused input dropout (model_zoo.py:82)
         x = x * feat_mask.astype(x.dtype)
     ft = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
     a1 = jnp.dot(x, wa1_ref[:], preferred_element_type=jnp.float32)
     a2 = jnp.dot(x, wa2_ref[:], preferred_element_type=jnp.float32)
+    pe_b = None
+    if pe_refs is not None:
+        pe_ref, wp_ref, wpa1_ref, wpa2_ref = pe_refs
+        pe_rows = jnp.broadcast_to(pe_ref[:][None], (tb, n, pos_dim))
+        pe_b = (pe_mask.reshape(tb, n, pos_dim) * pe_rows).reshape(
+            tb * n, pos_dim)
+        ft = ft + jnp.dot(pe_b, wp_ref[:], preferred_element_type=jnp.float32)
+        a1 = a1 + jnp.dot(pe_b, wpa1_ref[:],
+                          preferred_element_type=jnp.float32)
+        a2 = a2 + jnp.dot(pe_b, wpa2_ref[:],
+                          preferred_element_type=jnp.float32)
     row0 = pl.multiple_of(tile * tb, tb)
     ngp = ngp_ref[pl.ds(row0, tb), :]
     nsib = nsib_ref[pl.ds(row0, tb), :]
-    return tile, x, ft, a1, a2, ngp, nsib, feat_mask, attn_masks
+    return (tile, x, ft, a1, a2, ngp, nsib, feat_mask, attn_masks, pe_b,
+            pe_mask)
 
 
 # ------------------------------------------------------------------- forward
 
 def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                 ba1_ref, ba2_ref, ngp_ref, nsib_ref,
-                out_ref, *, p, s, heads, dh, alpha, attn_drop, feat_drop,
-                out_alpha, interpret):
+                *rest, p, s, heads, dh, alpha, attn_drop, feat_drop,
+                out_alpha, interpret, pe_drop=False):
+    if pe_drop:   # (pe, wp, wpa1, wpa2) extra inputs — see fused_gat_layer
+        pe_refs = rest[:4]
+        (out_ref,) = rest[4:]
+    else:
+        pe_refs = None
+        (out_ref,) = rest
     tb = x_ref.shape[0]
     n = p + 1 + s
     (tile, x, ft, a1, a2, ngp, nsib, _feat_mask,
-     drop_masks) = _common_prologue(
+     drop_masks, _pe_b, _pe_mask) = _common_prologue(
         x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n,
-        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret)
+        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret,
+        pe_refs=pe_refs)
 
     for h in range(heads):
         cols_h = slice(h * dh, (h + 1) * dh)
@@ -199,20 +231,27 @@ def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
 
 def _fwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                      ba1_ref, ba2_ref, ngp_ref, nsib_ref,
-                     out_ref, *, p, s, heads, dh, alpha, attn_drop, feat_drop,
-                     interpret):
+                     *rest, p, s, heads, dh, alpha, attn_drop, feat_drop,
+                     interpret, pe_drop=False):
     """Final-layer variant that fuses the head mean + per-position-class
     readout pools: instead of the [TB, N, H*Dh] slot outputs it writes
     pools [TB, 3, Dh] = (sum over valid gp slots, anchor, sum over valid
     sibling slots) of the head-averaged aggregation — the input of every
     readout kind except MAX (ops/star.py:readout_from_pools). Saves the
     [B, N, H*Dh] HBM round-trip of the final layer + XLA readout pass."""
+    if pe_drop:
+        pe_refs = rest[:4]
+        (out_ref,) = rest[4:]
+    else:
+        pe_refs = None
+        (out_ref,) = rest
     tb = x_ref.shape[0]
     n = p + 1 + s
     (tile, x, ft, a1, a2, ngp, nsib, _feat_mask,
-     drop_masks) = _common_prologue(
+     drop_masks, _pe_b, _pe_mask) = _common_prologue(
         x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n,
-        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret)
+        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret,
+        pe_refs=pe_refs)
     sib_mask = jax.lax.broadcasted_iota(jnp.int32, (tb, s), 1) < nsib
 
     pool_gp = jnp.zeros((tb, dh), jnp.float32)
@@ -237,12 +276,14 @@ def _fwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                    jnp.expand_dims(at["w_s1"], 2) * ft_sib)    # [TB, S, Dh]
         out_gp = jnp.expand_dims(at["w_gp"], 2) * ft_gp        # [TB, P, Dh]
         # validity masks: padded slots carry the slot bias -> must be zeroed
-        # here (the per-slot kernel leaves them to the XLA readout's mask)
-        pool_gp += jnp.sum(
-            jnp.where(jnp.expand_dims(at["gp_mask"], 2), out_gp, 0.0), axis=1)
+        # here (the per-slot kernel leaves them to the XLA readout's mask).
+        # f32 multiplies, NOT where(expand_dims(bool)): Mosaic rejects
+        # minor-dim inserts on i1 vectors (only 32-bit types supported)
+        gp_f = at["gp_mask"].astype(jnp.float32)
+        sib_f = sib_mask.astype(jnp.float32)
+        pool_gp += jnp.sum(out_gp * jnp.expand_dims(gp_f, 2), axis=1)
         pool_anchor += out_anchor
-        pool_sib += jnp.sum(
-            jnp.where(jnp.expand_dims(sib_mask, 2), out_sib, 0.0), axis=1)
+        pool_sib += jnp.sum(out_sib * jnp.expand_dims(sib_f, 2), axis=1)
     inv_h = 1.0 / heads   # mean over heads (model_zoo.py:189)
     out_ref[:, 0, :] = (pool_gp * inv_h).astype(out_ref.dtype)
     out_ref[:, 1, :] = (pool_anchor * inv_h).astype(out_ref.dtype)
@@ -318,17 +359,25 @@ def _bwd_head_core(at, a1h, a2h, ft_gp, ft_anchor, ft_sib, g_gp, g_anchor,
 
 def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                 ba1_ref, ba2_ref, ngp_ref, nsib_ref,
-                g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref,
-                dbft_ref, dba1_ref, dba2_ref,
-                dft_buf, da1_buf, da2_buf,
-                *, p, s, heads, dh, alpha, attn_drop, feat_drop, out_alpha,
-                interpret):
+                *rest, p, s, heads, dh, alpha, attn_drop, feat_drop,
+                out_alpha, interpret, pe_drop=False):
+    if pe_drop:
+        pe_refs = rest[:4]
+        (g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
+         dba2_ref, dpe_ref, dwp_ref, dwpa1_ref, dwpa2_ref,
+         dft_buf, da1_buf, da2_buf) = rest[4:]
+        pe_grad_refs = (dpe_ref, dwp_ref, dwpa1_ref, dwpa2_ref)
+    else:
+        pe_refs = pe_grad_refs = None
+        (g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
+         dba2_ref, dft_buf, da1_buf, da2_buf) = rest
     tb = x_ref.shape[0]
     n = p + 1 + s
     (tile, x, ft, a1, a2, ngp, nsib, feat_mask,
-     drop_masks) = _common_prologue(
+     drop_masks, pe_b, pe_mask) = _common_prologue(
         x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n,
-        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret)
+        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret,
+        pe_refs=pe_refs)
 
     @pl.when(tile == 0)
     def _init():
@@ -338,6 +387,9 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         dbft_ref[:] = jnp.zeros_like(dbft_ref)
         dba1_ref[:] = jnp.zeros_like(dba1_ref)
         dba2_ref[:] = jnp.zeros_like(dba2_ref)
+        if pe_grad_refs is not None:
+            for ref in pe_grad_refs:
+                ref[:] = jnp.zeros_like(ref)
 
     for h in range(heads):
         cols_h = slice(h * dh, (h + 1) * dh)
@@ -378,12 +430,15 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
 
     _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref,
                   dft_buf, da1_buf, da2_buf, dx_ref, dw_ref, dwa1_ref,
-                  dwa2_ref, dbft_ref, dba1_ref, dba2_ref, tb, n, heads, dh)
+                  dwa2_ref, dbft_ref, dba1_ref, dba2_ref, tb, n, heads, dh,
+                  pe_refs=pe_refs, pe_grad_refs=pe_grad_refs, pe_b=pe_b,
+                  pe_mask=pe_mask)
 
 
 def _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref, dft_buf, da1_buf,
                   da2_buf, dx_ref, dw_ref, dwa1_ref, dwa2_ref, dbft_ref,
-                  dba1_ref, dba2_ref, tb, n, heads, dh):
+                  dba1_ref, dba2_ref, tb, n, heads, dh, pe_refs=None,
+                  pe_grad_refs=None, pe_b=None, pe_mask=None):
     """Shared backward epilogue: dft/da buffers -> dx and parameter grads."""
     dft = dft_buf[:].reshape(tb * n, heads * dh)
     da1_flat = da1_buf[:].reshape(tb * n, heads)
@@ -417,23 +472,44 @@ def _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref, dft_buf, da1_buf,
     dba1_ref[:] += jnp.sum(da1_buf[:], axis=0)
     dba2_ref[:] += jnp.sum(da2_buf[:], axis=0)
 
+    if pe_refs is not None:   # pe-dropout path grads (see fused_gat_layer)
+        _pe_ref, wp_ref, wpa1_ref, wpa2_ref = pe_refs
+        dpe_ref, dwp_ref, dwpa1_ref, dwpa2_ref = pe_grad_refs
+        pos_dim = pe_b.shape[1]
+        # d(masked pe rows), then chain through mask and sum rows per slot
+        d_peb = (dot_nt(dft, wp_ref[:]) + dot_nt(da1_flat, wpa1_ref[:]) +
+                 dot_nt(da2_flat, wpa2_ref[:]))           # [TB*N, pos]
+        dpe_ref[:] += jnp.sum(
+            (d_peb * pe_mask).reshape(tb, n, pos_dim), axis=0)
+        dwp_ref[:] += dot_tn(pe_b, dft)
+        dwpa1_ref[:] += dot_tn(pe_b, da1_flat)
+        dwpa2_ref[:] += dot_tn(pe_b, da2_flat)
+
 
 def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                      ba1_ref, ba2_ref, ngp_ref, nsib_ref,
-                     g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref,
-                     dbft_ref, dba1_ref, dba2_ref,
-                     dft_buf, da1_buf, da2_buf,
-                     *, p, s, heads, dh, alpha, attn_drop, feat_drop,
-                     interpret):
+                     *rest, p, s, heads, dh, alpha, attn_drop, feat_drop,
+                     interpret, pe_drop=False):
     """Backward of _fwd_pool_kernel: g_ref holds d(pools) [TB, 3, Dh]; the
     per-slot incoming grads are its class rows broadcast over valid slots,
     scaled by the 1/heads of the fused head mean."""
+    if pe_drop:
+        pe_refs = rest[:4]
+        (g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
+         dba2_ref, dpe_ref, dwp_ref, dwpa1_ref, dwpa2_ref,
+         dft_buf, da1_buf, da2_buf) = rest[4:]
+        pe_grad_refs = (dpe_ref, dwp_ref, dwpa1_ref, dwpa2_ref)
+    else:
+        pe_refs = pe_grad_refs = None
+        (g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
+         dba2_ref, dft_buf, da1_buf, da2_buf) = rest
     tb = x_ref.shape[0]
     n = p + 1 + s
     (tile, x, ft, a1, a2, ngp, nsib, feat_mask,
-     drop_masks) = _common_prologue(
+     drop_masks, pe_b, pe_mask) = _common_prologue(
         x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb, n,
-        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret)
+        seed_ref[0], p, s, heads, feat_drop, attn_drop, interpret,
+        pe_refs=pe_refs)
     sib_mask = jax.lax.broadcasted_iota(jnp.int32, (tb, s), 1) < nsib
 
     @pl.when(tile == 0)
@@ -444,6 +520,9 @@ def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         dbft_ref[:] = jnp.zeros_like(dbft_ref)
         dba1_ref[:] = jnp.zeros_like(dba1_ref)
         dba2_ref[:] = jnp.zeros_like(dba2_ref)
+        if pe_grad_refs is not None:
+            for ref in pe_grad_refs:
+                ref[:] = jnp.zeros_like(ref)
 
     inv_h = 1.0 / heads
     g0 = g_ref[:, 0, :].astype(jnp.float32) * inv_h     # [TB, Dh]
@@ -462,18 +541,21 @@ def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         ft_anchor = fth[:, p:p + 1]
         ft_sib = fth[:, p + 1:]
         # per-slot grads from the class pools, masked to valid slots
-        g_gp = jnp.where(jnp.expand_dims(at["gp_mask"], 2),
-                         jnp.expand_dims(g0, 1), 0.0)          # [TB, P, Dh]
-        g_anchor = jnp.expand_dims(g1, 1)                      # [TB, 1, Dh]
-        g_sib = jnp.where(jnp.expand_dims(sib_mask, 2),
-                          jnp.expand_dims(g2, 1), 0.0)         # [TB, S, Dh]
+        # (f32 mask multiplies — see _fwd_pool_kernel's Mosaic i1 note)
+        gp_f = at["gp_mask"].astype(jnp.float32)
+        sib_f = sib_mask.astype(jnp.float32)
+        g_gp = jnp.expand_dims(g0, 1) * jnp.expand_dims(gp_f, 2)  # [TB,P,Dh]
+        g_anchor = jnp.expand_dims(g1, 1)                         # [TB,1,Dh]
+        g_sib = jnp.expand_dims(g2, 1) * jnp.expand_dims(sib_f, 2)
         _bwd_head_core(at, a1h, a2h, ft_gp, ft_anchor, ft_sib,
                        g_gp, g_anchor, g_sib, drop_masks, h, p, s, n, tb, dh,
                        alpha, dft_buf, da1_buf, da2_buf)
 
     _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref,
                   dft_buf, da1_buf, da2_buf, dx_ref, dw_ref, dwa1_ref,
-                  dwa2_ref, dbft_ref, dba1_ref, dba2_ref, tb, n, heads, dh)
+                  dwa2_ref, dbft_ref, dba1_ref, dba2_ref, tb, n, heads, dh,
+                  pe_refs=pe_refs, pe_grad_refs=pe_grad_refs, pe_b=pe_b,
+                  pe_mask=pe_mask)
 
 
 # ----------------------------------------------------------------- dispatch
@@ -492,17 +574,28 @@ def _pick_tile(b: int, n: int, din: int, hd: int, factor: int = 1) -> int:
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
-def fused_gat_layer(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
-                    heads, alpha, attn_drop, feat_drop, out_alpha, interpret):
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
+def fused_gat_layer(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
+                    meta, p, heads, alpha, attn_drop, feat_drop, out_alpha,
+                    interpret):
     """x: [B, N, Din]; fc: [Din, H*Dh]; wa1/wa2: [Din, H]; slot biases
     bias_ft [N, H*Dh], bias_a1/bias_a2 [N, H] (position-embedding
     decomposition — zeros when unused); meta = (ngp [B], nsib [B], seed).
     feat_drop > 0 fuses the input-feature dropout; out_alpha (float or None)
-    fuses the inter-layer leaky_relu activation. Returns [B, N, H*Dh]."""
-    out, _ = _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
-                        heads, alpha, attn_drop, feat_drop, out_alpha,
-                        interpret)
+    fuses the inter-layer leaky_relu activation. Returns [B, N, H*Dh].
+
+    pe_pack: None, or (pe [N, pos], wp [pos, H*Dh], wpa1 [pos, H],
+    wpa2 [pos, H]) — the pe-DROPOUT path for pos_mode="bias" training:
+    the kernel draws a per-node keep-mask over the position-embedding
+    columns and adds (mask * pe) @ wp (resp. wpa1/wpa2) to ft/a1/a2,
+    reproducing the reference's dropout over the full concatenated input
+    (model_zoo.py:82) without materializing the concat. Use it with
+    bias_ft/a1/a2 = zeros; requires feat_drop > 0 (otherwise precompute
+    the exact per-slot biases instead)."""
+    out, _ = _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
+                        meta, p, heads, alpha, attn_drop, feat_drop,
+                        out_alpha, interpret)
     return out
 
 
@@ -514,8 +607,33 @@ def _slot_pad(n: int) -> int:
     return (-(-n // 16) * 16) - n
 
 
-def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads,
-               alpha, attn_drop, feat_drop, out_alpha, interpret):
+def _prep_pe_pack(pe_pack, pad, heads, feat_drop):
+    """Slot-pad + f32-cast the pe inputs; build their specs and operands."""
+    if pe_pack is None:
+        return None, [], []
+    if feat_drop <= 0.0:
+        raise ValueError("pe_pack requires feat_drop > 0 — with no input "
+                         "dropout precompute the exact per-slot biases")
+    pe, wp, wpa1, wpa2 = pe_pack
+    pe = pe.astype(jnp.float32)
+    if pad:
+        pe = jnp.pad(pe, ((0, pad), (0, 0)))
+    n = pe.shape[0]
+    pos = pe.shape[1]
+    hd = wp.shape[1]
+    specs = [
+        pl.BlockSpec((n, pos), lambda i, *_: (0, 0)),
+        pl.BlockSpec((pos, hd), lambda i, *_: (0, 0)),
+        pl.BlockSpec((pos, heads), lambda i, *_: (0, 0)),
+        pl.BlockSpec((pos, heads), lambda i, *_: (0, 0)),
+    ]
+    operands = [pe, wp.astype(jnp.float32), wpa1.astype(jnp.float32),
+                wpa2.astype(jnp.float32)]
+    return (pe, operands[1], operands[2], operands[3]), specs, operands
+
+
+def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
+               heads, alpha, attn_drop, feat_drop, out_alpha, interpret):
     ngp, nsib, seed = meta
     b, n_orig, din = x.shape
     pad = _slot_pad(n_orig)
@@ -530,10 +648,13 @@ def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads,
     s = n - p - 1
     tb = _pick_tile(b, n, din, hd)
     grid = (b // tb,)
+    pe_padded, pe_specs, pe_operands = _prep_pe_pack(pe_pack, pad, heads,
+                                                     feat_drop)
     kernel = functools.partial(_fwd_kernel, p=p, s=s, heads=heads, dh=dh,
                                alpha=alpha, attn_drop=attn_drop,
                                feat_drop=feat_drop, out_alpha=out_alpha,
-                               interpret=interpret)
+                               interpret=interpret,
+                               pe_drop=pe_pack is not None)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -549,7 +670,7 @@ def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads,
                 pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
-            ],
+            ] + pe_specs,
             out_specs=pl.BlockSpec((tb, n, hd), lambda i, *_: (i, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, hd), x.dtype),
@@ -558,16 +679,38 @@ def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads,
       bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
-      nsib.reshape(b, 1).astype(jnp.int32))
+      nsib.reshape(b, 1).astype(jnp.int32), *pe_operands)
     if pad:
         out = out[:, :n_orig]
-    return out, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta)
+    return out, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded, meta)
+
+
+def _pe_grad_specs_shapes(pe_padded, heads):
+    """Output specs + shapes for the pe-path parameter grads."""
+    if pe_padded is None:
+        return [], []
+    pe, wp, _, _ = pe_padded
+    n, pos = pe.shape
+    hd = wp.shape[1]
+    specs = [
+        pl.BlockSpec((n, pos), lambda i, *_: (0, 0)),
+        pl.BlockSpec((pos, hd), lambda i, *_: (0, 0)),
+        pl.BlockSpec((pos, heads), lambda i, *_: (0, 0)),
+        pl.BlockSpec((pos, heads), lambda i, *_: (0, 0)),
+    ]
+    shapes = [
+        jax.ShapeDtypeStruct((n, pos), jnp.float32),
+        jax.ShapeDtypeStruct((pos, hd), jnp.float32),
+        jax.ShapeDtypeStruct((pos, heads), jnp.float32),
+        jax.ShapeDtypeStruct((pos, heads), jnp.float32),
+    ]
+    return specs, shapes
 
 
 def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
                residuals, g):
-    # residual x / biases are already slot-padded by _fused_fwd
-    x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta = residuals
+    # residual x / biases / pe are already slot-padded by _fused_fwd
+    x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded, meta = residuals
     ngp, nsib, seed = meta
     b, n, din = x.shape
     n_orig = g.shape[1]
@@ -579,11 +722,23 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
     s = n - p - 1
     tb = _pick_tile(b, n, din, hd, factor=2)
     grid = (b // tb,)
+    pe_specs = []
+    pe_operands = []
+    if pe_padded is not None:
+        pe_specs = [
+            pl.BlockSpec(pe_padded[0].shape, lambda i, *_: (0, 0)),
+            pl.BlockSpec(pe_padded[1].shape, lambda i, *_: (0, 0)),
+            pl.BlockSpec(pe_padded[2].shape, lambda i, *_: (0, 0)),
+            pl.BlockSpec(pe_padded[3].shape, lambda i, *_: (0, 0)),
+        ]
+        pe_operands = list(pe_padded)
+    pe_out_specs, pe_out_shapes = _pe_grad_specs_shapes(pe_padded, heads)
     kernel = functools.partial(_bwd_kernel, p=p, s=s, heads=heads, dh=dh,
                                alpha=alpha, attn_drop=attn_drop,
                                feat_drop=feat_drop, out_alpha=out_alpha,
-                               interpret=interpret)
-    dx, dw, dwa1, dwa2, dbft, dba1, dba2 = pl.pallas_call(
+                               interpret=interpret,
+                               pe_drop=pe_padded is not None)
+    results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -598,6 +753,7 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
                 pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
+            ] + pe_specs + [
                 pl.BlockSpec((tb, n, hd), lambda i, *_: (i, 0, 0)),
             ],
             out_specs=[
@@ -608,7 +764,7 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
                 pl.BlockSpec((n, hd), lambda i, *_: (0, 0)),
                 pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
-            ],
+            ] + pe_out_specs,
             scratch_shapes=[
                 pltpu.VMEM((tb, n, hd), jnp.float32),     # dft
                 pltpu.VMEM((tb, n, heads), jnp.float32),  # da1
@@ -623,41 +779,52 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
             jax.ShapeDtypeStruct((n, hd), jnp.float32),
             jax.ShapeDtypeStruct((n, heads), jnp.float32),
             jax.ShapeDtypeStruct((n, heads), jnp.float32),
-        ],
+        ] + pe_out_shapes,
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
       bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
-      nsib.reshape(b, 1).astype(jnp.int32), g)
+      nsib.reshape(b, 1).astype(jnp.int32), *pe_operands, g)
+    dx, dw, dwa1, dwa2, dbft, dba1, dba2 = results[:7]
     if pad:
         dx = dx[:, :n_orig]
         dbft = dbft[:n_orig]
         dba1 = dba1[:n_orig]
         dba2 = dba2[:n_orig]
+    dpe_pack = None
+    if pe_padded is not None:
+        dpe, dwp, dwpa1, dwpa2 = results[7:]
+        if pad:
+            dpe = dpe[:n_orig]
+        dpe_pack = (dpe, dwp, dwpa1, dwpa2)
     return (dx, dw.astype(fc.dtype), dwa1.astype(wa1.dtype),
             dwa2.astype(wa2.dtype), dbft.astype(bias_ft.dtype),
-            dba1.astype(bias_a1.dtype), dba2.astype(bias_a2.dtype), None)
+            dba1.astype(bias_a1.dtype), dba2.astype(bias_a2.dtype),
+            dpe_pack, None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
-def fused_gat_layer_pooled(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta,
-                           p, heads, alpha, attn_drop, feat_drop, interpret):
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def fused_gat_layer_pooled(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2,
+                           pe_pack, meta, p, heads, alpha, attn_drop,
+                           feat_drop, interpret):
     """Final-layer GAT with the head mean + position-class readout pools
     fused in: returns pools [B, 3, Dh] f32 = (sum over valid grandparent
     slots, anchor, sum over valid sibling slots) of the head-averaged
     aggregated output. Every readout kind except MAX is a cheap XLA epilogue
     on the pools (ops/star.py:readout_from_pools) — the [B, N, H*Dh] final
-    activation never touches HBM. Args as fused_gat_layer (no out_alpha:
-    the output layer has no stack activation, model_zoo.py:189)."""
+    activation never touches HBM. Args as fused_gat_layer, including the
+    pe_pack pe-dropout path (no out_alpha: the output layer has no stack
+    activation, model_zoo.py:189)."""
     out, _ = _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2,
-                               meta, p, heads, alpha, attn_drop, feat_drop,
-                               interpret)
+                               pe_pack, meta, p, heads, alpha, attn_drop,
+                               feat_drop, interpret)
     return out
 
 
-def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
-                      heads, alpha, attn_drop, feat_drop, interpret):
+def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
+                      meta, p, heads, alpha, attn_drop, feat_drop, interpret):
     ngp, nsib, seed = meta
     b, n_orig, din = x.shape
     pad = _slot_pad(n_orig)
@@ -672,9 +839,12 @@ def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
     s = n - p - 1
     tb = _pick_tile(b, n, din, hd)
     grid = (b // tb,)
+    pe_padded, pe_specs, pe_operands = _prep_pe_pack(pe_pack, pad, heads,
+                                                     feat_drop)
     kernel = functools.partial(_fwd_pool_kernel, p=p, s=s, heads=heads, dh=dh,
                                alpha=alpha, attn_drop=attn_drop,
-                               feat_drop=feat_drop, interpret=interpret)
+                               feat_drop=feat_drop, interpret=interpret,
+                               pe_drop=pe_pack is not None)
     pools = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -690,7 +860,7 @@ def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
                 pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
-            ],
+            ] + pe_specs,
             out_specs=pl.BlockSpec((tb, 3, dh), lambda i, *_: (i, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((b, 3, dh), jnp.float32),
@@ -699,14 +869,16 @@ def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
       bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
-      nsib.reshape(b, 1).astype(jnp.int32))
-    return pools, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, n_orig)
+      nsib.reshape(b, 1).astype(jnp.int32), *pe_operands)
+    return pools, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded,
+                   meta, n_orig)
 
 
 def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
                       residuals, g):
-    # residual x / biases are already slot-padded by _fused_pooled_fwd
-    x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, n_orig = residuals
+    # residual x / biases / pe are already slot-padded by _fused_pooled_fwd
+    (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded, meta,
+     n_orig) = residuals
     ngp, nsib, seed = meta
     b, n, din = x.shape
     hd = fc.shape[1]
@@ -714,10 +886,22 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
     s = n - p - 1
     tb = _pick_tile(b, n, din, hd, factor=2)
     grid = (b // tb,)
+    pe_specs = []
+    pe_operands = []
+    if pe_padded is not None:
+        pe_specs = [
+            pl.BlockSpec(pe_padded[0].shape, lambda i, *_: (0, 0)),
+            pl.BlockSpec(pe_padded[1].shape, lambda i, *_: (0, 0)),
+            pl.BlockSpec(pe_padded[2].shape, lambda i, *_: (0, 0)),
+            pl.BlockSpec(pe_padded[3].shape, lambda i, *_: (0, 0)),
+        ]
+        pe_operands = list(pe_padded)
+    pe_out_specs, pe_out_shapes = _pe_grad_specs_shapes(pe_padded, heads)
     kernel = functools.partial(_bwd_pool_kernel, p=p, s=s, heads=heads, dh=dh,
                                alpha=alpha, attn_drop=attn_drop,
-                               feat_drop=feat_drop, interpret=interpret)
-    dx, dw, dwa1, dwa2, dbft, dba1, dba2 = pl.pallas_call(
+                               feat_drop=feat_drop, interpret=interpret,
+                               pe_drop=pe_padded is not None)
+    results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -732,6 +916,7 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
                 pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
+            ] + pe_specs + [
                 pl.BlockSpec((tb, 3, dh), lambda i, *_: (i, 0, 0)),
             ],
             out_specs=[
@@ -742,7 +927,7 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
                 pl.BlockSpec((n, hd), lambda i, *_: (0, 0)),
                 pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((n, heads), lambda i, *_: (0, 0)),
-            ],
+            ] + pe_out_specs,
             scratch_shapes=[
                 pltpu.VMEM((tb, n, hd), jnp.float32),     # dft
                 pltpu.VMEM((tb, n, heads), jnp.float32),  # da1
@@ -757,34 +942,45 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
             jax.ShapeDtypeStruct((n, hd), jnp.float32),
             jax.ShapeDtypeStruct((n, heads), jnp.float32),
             jax.ShapeDtypeStruct((n, heads), jnp.float32),
-        ],
+        ] + pe_out_shapes,
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
       bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
-      nsib.reshape(b, 1).astype(jnp.int32), g.astype(jnp.float32))
+      nsib.reshape(b, 1).astype(jnp.int32), *pe_operands,
+      g.astype(jnp.float32))
+    dx, dw, dwa1, dwa2, dbft, dba1, dba2 = results[:7]
     if n > n_orig:   # undo the slot padding of _fused_pooled_fwd
         dx = dx[:, :n_orig]
         dbft = dbft[:n_orig]
         dba1 = dba1[:n_orig]
         dba2 = dba2[:n_orig]
+    dpe_pack = None
+    if pe_padded is not None:
+        dpe, dwp, dwpa1, dwpa2 = results[7:]
+        if n > n_orig:
+            dpe = dpe[:n_orig]
+        dpe_pack = (dpe, dwp, dwpa1, dwpa2)
     return (dx, dw.astype(fc.dtype), dwa1.astype(wa1.dtype),
             dwa2.astype(wa2.dtype), dbft.astype(bias_ft.dtype),
-            dba1.astype(bias_a1.dtype), dba2.astype(bias_a2.dtype), None)
+            dba1.astype(bias_a1.dtype), dba2.astype(bias_a2.dtype),
+            dpe_pack, None)
 
 
 fused_gat_layer_pooled.defvjp(
-    lambda x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads, alpha,
-    attn_drop, feat_drop, interpret:
-        _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta,
-                          p, heads, alpha, attn_drop, feat_drop, interpret),
+    lambda x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
+    heads, alpha, attn_drop, feat_drop, interpret:
+        _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2,
+                          pe_pack, meta, p, heads, alpha, attn_drop,
+                          feat_drop, interpret),
     _fused_pooled_bwd)
 
 
 fused_gat_layer.defvjp(
-    lambda x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p, heads, alpha,
-    attn_drop, feat_drop, out_alpha, interpret:
-        _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, meta, p,
-                   heads, alpha, attn_drop, feat_drop, out_alpha, interpret),
+    lambda x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
+    heads, alpha, attn_drop, feat_drop, out_alpha, interpret:
+        _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta,
+                   p, heads, alpha, attn_drop, feat_drop, out_alpha,
+                   interpret),
     _fused_bwd)

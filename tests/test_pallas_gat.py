@@ -43,8 +43,9 @@ def fused(x, fc, al, ar, ngp, nsib):
     wa2 = jnp.einsum("ihd,hd->ih", fc.reshape(DIN, HEADS, DH), ar)
     z_ft = jnp.zeros((N, HEADS * DH), jnp.float32)
     z_a = jnp.zeros((N, HEADS), jnp.float32)
-    return fused_gat_layer(x, fc, wa1, wa2, z_ft, z_a, z_a, (ngp, nsib, 0),
-                           P, HEADS, 0.2, 0.0, 0.0, None, True)
+    return fused_gat_layer(x, fc, wa1, wa2, z_ft, z_a, z_a, None,
+                           (ngp, nsib, 0), P, HEADS, 0.2, 0.0, 0.0,
+                           None, True)
 
 
 def test_forward_matches(rng):
@@ -102,7 +103,7 @@ def test_fused_dropout_and_activation_gradcheck(rng):
     cot = jnp.asarray(rng.normal(size=(B, N, HEADS * DH)).astype(np.float32))
 
     def f(xv):
-        out = fused_gat_layer(xv, fc, wa1, wa2, z_ft, z_a, z_a,
+        out = fused_gat_layer(xv, fc, wa1, wa2, z_ft, z_a, z_a, None,
                               (ngp, nsib, 123), P, HEADS, 0.2,
                               0.3, 0.4, 0.01, True)
         return (out * cot).sum()

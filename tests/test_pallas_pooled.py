@@ -31,8 +31,9 @@ def pools_reference(x, fc, al, ar, ngp, nsib, seed=0, attn_drop=0.0,
                     feat_drop=0.0):
     """Per-slot fused kernel (same dropout stream) -> class pools in XLA."""
     wa1, wa2, z_ft, z_a = _mk(x, fc, al, ar)
-    out = fused_gat_layer(x, fc, wa1, wa2, z_ft, z_a, z_a, (ngp, nsib, seed),
-                          KP, HEADS, 0.2, attn_drop, feat_drop, None, True)
+    out = fused_gat_layer(x, fc, wa1, wa2, z_ft, z_a, z_a, None,
+                          (ngp, nsib, seed), KP, HEADS, 0.2, attn_drop,
+                          feat_drop, None, True)
     h = out.reshape(B, N, HEADS, DH).mean(axis=2)          # head mean
     mask = star.node_mask(ngp, nsib, KP, N)[..., None].astype(h.dtype)
     hm = h * mask
@@ -43,7 +44,7 @@ def pools_reference(x, fc, al, ar, ngp, nsib, seed=0, attn_drop=0.0,
 def pools_fused(x, fc, al, ar, ngp, nsib, seed=0, attn_drop=0.0,
                 feat_drop=0.0):
     wa1, wa2, z_ft, z_a = _mk(x, fc, al, ar)
-    return fused_gat_layer_pooled(x, fc, wa1, wa2, z_ft, z_a, z_a,
+    return fused_gat_layer_pooled(x, fc, wa1, wa2, z_ft, z_a, z_a, None,
                                   (ngp, nsib, seed), KP, HEADS, 0.2,
                                   attn_drop, feat_drop, True)
 
