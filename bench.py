@@ -62,7 +62,7 @@ def build_workload(groups, group_size, max_parents, expand_factor, in_dim,
     return model, params, batch, table, n_edges
 
 
-def make_step(model, path, optimizer):
+def make_step(model, path, optimizer, fwd_only=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -75,20 +75,34 @@ def make_step(model, path, optimizer):
         return forward_generic(model, params, batch, table, rng=rng,
                                train=True)
 
+    def loss_of(params, batch, table, rng):
+        scores = fwd(params, batch, table, rng)
+        return info_nce_loss(scores, jnp.asarray(batch.labels),
+                             jnp.asarray(batch.cand_mask))
+
+    if fwd_only:
+        # diagnostic: train-mode forward + loss, no grad/update — isolates
+        # the forward kernels' share of the step time
+        @jax.jit
+        def step(params, opt_state, batch, table, rng):
+            loss = loss_of(params, batch, table, rng)
+            # thread loss into params tree so chained steps stay dependent
+            # (the slope protocol relies on the chain forcing every step)
+            keyed = jax.tree_util.tree_map(lambda x: x + 0.0 * loss, params)
+            return keyed, opt_state, loss
+        return step
+
     @jax.jit
     def step(params, opt_state, batch, table, rng):
-        def loss_fn(p):
-            scores = fwd(p, batch, table, rng)
-            return info_nce_loss(scores, jnp.asarray(batch.labels),
-                                 jnp.asarray(batch.cand_mask))
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_of)(params, batch, table, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     return step
 
 
-def time_path(path, model, params, batch, table, steps, warmup):
+def time_path(path, model, params, batch, table, steps, warmup,
+              fwd_only=False):
     """Per-step time via the slope of chained step counts.
 
     On this TPU relay, block_until_ready can return before execution finishes
@@ -107,7 +121,7 @@ def time_path(path, model, params, batch, table, steps, warmup):
     batch = jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x)), batch)
     table = jax.device_put(table)
-    step = make_step(model, path, optimizer)
+    step = make_step(model, path, optimizer, fwd_only=fwd_only)
     rng = jax.random.PRNGKey(0)
     state = {"params": params, "opt_state": opt_state, "i": 0}
 
@@ -157,6 +171,9 @@ def main():
                    help="force CPU (debug); default = real TPU chip")
     p.add_argument("--skip-baseline", action="store_true",
                    help="skip the segment-path baseline timing")
+    p.add_argument("--fwd-only", action="store_true",
+                   help="diagnostic: time the train-mode forward+loss only "
+                        "(no grad/optimizer) to split fwd vs bwd cost")
     args = p.parse_args()
 
     import jax
@@ -183,7 +200,8 @@ def main():
           f"{n_edges} edges/step", file=sys.stderr)
 
     star_dt, star_loss = time_path("star", model, params, batch, table,
-                                   args.steps, args.warmup)
+                                   args.steps, args.warmup,
+                                   fwd_only=args.fwd_only)
     star_eps = n_edges / star_dt
     print(f"# star: {star_dt * 1e3:.2f} ms/step, {star_eps:.3e} edges/s, "
           f"loss={star_loss:.3f}", file=sys.stderr)

@@ -47,11 +47,34 @@ def init_gcn_layer(key, in_f: int, out_f: int, bias: bool = True):
 
 
 def apply_gcn_layer(params, h, norm, ngp, nsib, p_slots: int, *,
-                    activation, drop_rate: float, rng, train: bool):
-    """One GCNLayer forward (model_zoo.py:34-50). h: [B, N, Din]."""
+                    activation, drop_rate: float, rng, train: bool,
+                    pos_emb=None):
+    """One GCNLayer forward (model_zoo.py:34-50). h: [B, N, Din].
+
+    `pos_emb` ([N, pos_dim] or None): position-bias decomposition
+    [h, pe] @ W = h @ W_h + pe @ W_p — the concat (a [B, N, Din+pos] HBM
+    pass per layer) disappears. Exact semantics incl. dropout: in eval
+    the pe term is a per-slot constant; in train the pe columns get their
+    own per-node keep-mask (independent masks over disjoint column blocks
+    == one mask over the concat, model_zoo.py:36's dropout-before-matmul
+    applied by PGCN on the concatenated input)."""
+    k_h, k_pe = jax.random.split(rng)
     if drop_rate:
-        h = dropout(rng, h, drop_rate, train)
-    h = h @ params["w"]
+        h = dropout(k_h, h, drop_rate, train)
+    if pos_emb is None:
+        h = h @ params["w"]
+    else:
+        din_h = h.shape[-1]
+        w_h, w_p = params["w"][:din_h], params["w"][din_h:]
+        z = h @ w_h
+        if drop_rate and train:
+            b, n, _ = h.shape
+            peb = jnp.broadcast_to(pos_emb[None], (b, n, pos_emb.shape[-1]))
+            peb = dropout(k_pe, peb, drop_rate, True)
+            z = z + peb @ w_p
+        else:
+            z = z + (pos_emb @ w_p)[None]
+        h = z
     h = h * norm
     h = star.copy_src_sum(h, ngp, nsib, p_slots)
     h = h * norm
@@ -205,7 +228,13 @@ class GCN:
     def __init__(self, in_dim, hidden_dim, out_dim, num_layers,
                  pos_dim: int = 0, activation=leaky_relu,
                  in_dropout=0.1, hidden_dropout=0.1, output_dropout=0.0,
-                 position_vocab_size: int = 3):
+                 position_vocab_size: int = 3, pos_mode: str = "bias"):
+        if pos_mode not in ("bias", "concat"):
+            raise ValueError(f"pos_mode must be bias|concat, got {pos_mode!r}")
+        # "bias": [h, pe] @ W decomposed as h @ W_h + pe @ W_p (exact incl.
+        # train-mode dropout — see apply_gcn_layer); same param shapes as
+        # "concat", so checkpoints are interchangeable between modes.
+        self.pos_mode = pos_mode
         self.pos_dim = pos_dim
         self.activation = activation
         dims = ([(in_dim + pos_dim, hidden_dim, activation, in_dropout)] +
@@ -235,14 +264,19 @@ class GCN:
             slot_pos = jnp.asarray(
                 star_slot_positions(p_slots, n), dtype=jnp.int32)
         keys = jax.random.split(rng, len(self.layer_specs))
+        use_bias_pos = self.pos_dim and self.pos_mode == "bias"
         for i, (_, _, act, drop_rate) in enumerate(self.layer_specs):
+            pe = None
             if self.pos_dim:
                 pe = params["pos_emb"][i]["emb"][slot_pos]          # [N, pos]
-                h = jnp.concatenate(
-                    [h, jnp.broadcast_to(pe, (b, n, self.pos_dim))], axis=-1)
+                if not use_bias_pos:
+                    h = jnp.concatenate(
+                        [h, jnp.broadcast_to(pe, (b, n, self.pos_dim))],
+                        axis=-1)
+                    pe = None
             h = apply_gcn_layer(params["layers"][i], h, norm, ngp, nsib,
                                 p_slots, activation=act, drop_rate=drop_rate,
-                                rng=keys[i], train=train)
+                                rng=keys[i], train=train, pos_emb=pe)
         return h
 
 

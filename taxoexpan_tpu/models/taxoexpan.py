@@ -76,7 +76,8 @@ class TaxoExpan:
                                  pos_dim=pos_dim_eff, activation=leaky_relu,
                                  in_dropout=feat_drop,
                                  hidden_dropout=hidden_drop,
-                                 output_dropout=out_drop)
+                                 output_dropout=out_drop,
+                                 pos_mode=pos_mode)
         else:
             if heads is None:
                 raise ValueError("GAT/PGAT require a heads list")

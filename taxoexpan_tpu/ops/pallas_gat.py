@@ -560,16 +560,26 @@ def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
 
 # ----------------------------------------------------------------- dispatch
 
+def _vmem_cap_bytes() -> int:
+    """Per-tile working-set budget. v5e has 128 MiB VMEM; the default leaves
+    ample room for Mosaic's double-buffered block DMAs and per-head
+    temporaries. Override with TAXOEXPAN_VMEM_CAP_MB for experiments."""
+    import os
+    return int(float(os.environ.get("TAXOEXPAN_VMEM_CAP_MB", "10"))
+               * 1024 * 1024)
+
+
 def _pick_tile(b: int, n: int, din: int, hd: int, factor: int = 1) -> int:
-    """Largest power-of-two tile (<=16) whose working set fits in ~10 MB.
+    """Largest power-of-two tile whose estimated working set fits the cap.
 
     `factor=2` for the backward kernel (holds dft/dx/da alongside ft/g)."""
-    for tb in (16, 8, 4, 2, 1):
+    cap = _vmem_cap_bytes()
+    for tb in (32, 16, 8, 4, 2, 1):
         if b % tb:
             continue
         rows = tb * n
         bytes_needed = factor * 4 * (rows * din + rows * hd * 2 + din * hd)
-        if bytes_needed <= 10 * 1024 * 1024:
+        if bytes_needed <= cap:
             return tb
     return 1
 

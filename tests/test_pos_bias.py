@@ -63,3 +63,36 @@ def test_pos_emb_grads_flow_through_bias(rng):
                     jax.tree_util.tree_leaves(grads)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-3,
                                    atol=2e-4)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_pgcn_bias_matches_concat(rng, train):
+    """PGCN pos_mode='bias' == 'concat' in eval; in train mode (different
+    mask streams) it must still run, keep scores finite, and pass grads to
+    every position embedding."""
+    m_concat = TaxoExpan("PGCN", "MR", "MLP", pos_mode="concat",
+                         **{**KW, "feat_drop": 0.3 if train else 0.0})
+    m_bias = TaxoExpan("PGCN", "MR", "MLP", pos_mode="bias",
+                       **{**KW, "feat_drop": 0.3 if train else 0.0})
+    params = m_concat.init(jax.random.PRNGKey(0))
+    table = jax.numpy.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    batch = make_group_batch(rng, g=4, c=2)
+    s_bias = np.asarray(m_bias.forward(params, batch, table,
+                                       rng=jax.random.PRNGKey(1),
+                                       train=train))
+    assert np.isfinite(s_bias).all()
+    if not train:
+        s_ref = np.asarray(m_concat.forward(params, batch, table,
+                                            rng=jax.random.PRNGKey(1),
+                                            train=False))
+        np.testing.assert_allclose(s_bias, s_ref, rtol=2e-4, atol=1e-5)
+
+    def loss(p):
+        s = m_bias.forward(p, batch, table, rng=jax.random.PRNGKey(1),
+                           train=train)
+        return (s ** 2).sum()
+
+    grads = jax.grad(loss)(params)
+    for pe in grads["propagate"]["pos_emb"]:
+        g = np.asarray(pe["emb"])
+        assert np.isfinite(g).all() and np.abs(g).max() > 0
