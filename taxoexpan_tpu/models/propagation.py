@@ -110,7 +110,8 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
                     feat_drop: float, attn_drop: float, rng, train: bool,
                     residual: bool = False, dtype=jnp.float32,
                     use_pallas: bool = False, pos_emb=None,
-                    fuse_out_alpha=None, pool_output: bool = False):
+                    fuse_out_alpha=None, pool_output: bool = False,
+                    input_grad: bool = True):
     """One GATLayer forward (model_zoo.py:80-104). h: [B, N, Din] ->
     [B, N, H, Dh].
 
@@ -127,7 +128,11 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
     per-node keep-mask over the pe columns (pe_pack, ops/pallas_gat.py),
     matching the reference's dropout of the full concatenated input
     (model_zoo.py:82). Only the non-Pallas XLA path with feat_drop > 0
-    deviates (pe columns not dropped) — use pos_mode="concat" there."""
+    deviates (pe columns not dropped) — use pos_mode="concat" there.
+
+    `input_grad=False` (fused Pallas path): the caller guarantees h is a
+    non-trainable input (the fixed word2vec features, dataset.py:130-133) —
+    the backward kernel skips the dx matmuls and the [B, N, Din] dx write."""
     k_feat, k_attn = jax.random.split(rng)
     fuse_pallas = use_pallas and not residual
     if feat_drop and not fuse_pallas:
@@ -188,14 +193,14 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
                 z_ft, z_a1, z_a2, pe_pack,
                 (ngp, nsib, seed), p_slots, num_heads, LEAKY_ALPHA,
                 attn_drop if train else 0.0,
-                feat_drop if train else 0.0, interpret)
+                feat_drop if train else 0.0, interpret, input_grad)
         out = fused_gat_layer(
             h, fc, wa1.astype(dtype), wa2.astype(dtype),
             z_ft, z_a1, z_a2, pe_pack,
             (ngp, nsib, seed), p_slots, num_heads, LEAKY_ALPHA,
             attn_drop if train else 0.0,
             feat_drop if train else 0.0,
-            fuse_out_alpha, interpret)
+            fuse_out_alpha, interpret, input_grad)
         return out.reshape(b, n, num_heads, -1)
     ft = (h @ fc).reshape(b, n, num_heads, -1)
     a1 = (h @ wa1.astype(dtype)).astype(jnp.float32)   # [B, N, H]
@@ -360,6 +365,13 @@ class GAT:
         # (model_zoo.py:187, the stack's F.leaky_relu with torch's 0.01 slope)
         fused_act = 0.01 if (self.use_pallas and
                              self.activation is leaky_relu) else None
+        # layer 0's input is the fixed word2vec feature tensor
+        # (dataset.py:130-133) unless the position concat mixes trainable
+        # pe columns into it: its cotangent is dead — skip the dx matmuls
+        # and the [B, N, Din] dx write in the fused backward
+        def in_grad(l):
+            return not (l == 0 and (not self.pos_dim or use_bias_pos))
+
         for l in range(self.num_layers):
             _, dout, nh, res = self.layer_specs[l]
             h = apply_gat_layer(params["layers"][l], with_pos(h, l), ngp, nsib,
@@ -369,7 +381,8 @@ class GAT:
                                 train=train, residual=res, dtype=self.dtype,
                                 use_pallas=self.use_pallas,
                                 pos_emb=pos_of(l) if use_bias_pos else None,
-                                fuse_out_alpha=None if res else fused_act)
+                                fuse_out_alpha=None if res else fused_act,
+                                input_grad=in_grad(l))
             h = h.reshape(b, n, -1)        # flatten heads (model_zoo.py:186)
             if fused_act is None or res:
                 h = self.activation(h)
@@ -382,7 +395,8 @@ class GAT:
                             use_pallas=self.use_pallas,
                             pos_emb=pos_of(self.num_layers)
                             if use_bias_pos else None,
-                            pool_output=pool_readout)
+                            pool_output=pool_readout,
+                            input_grad=in_grad(self.num_layers))
         if pool_readout:
             return h                                       # [B, 3, out_dim]
         # mean over heads (model_zoo.py:189); back to f32 for readout/matcher

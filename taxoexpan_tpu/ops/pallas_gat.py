@@ -360,16 +360,27 @@ def _bwd_head_core(at, a1h, a2h, ft_gp, ft_anchor, ft_sib, g_gp, g_anchor,
 def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                 ba1_ref, ba2_ref, ngp_ref, nsib_ref,
                 *rest, p, s, heads, dh, alpha, attn_drop, feat_drop,
-                out_alpha, interpret, pe_drop=False):
+                out_alpha, interpret, pe_drop=False, need_dx=True):
     if pe_drop:
         pe_refs = rest[:4]
-        (g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
+        rest = rest[4:]
+    else:
+        pe_refs = None
+    g_ref = rest[0]
+    rest = rest[1:]
+    if need_dx:
+        dx_ref, rest = rest[0], rest[1:]
+    else:
+        # layer input is a non-trainable feature tensor: no dx output
+        dx_ref = None
+    if pe_drop:
+        (dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
          dba2_ref, dpe_ref, dwp_ref, dwpa1_ref, dwpa2_ref,
-         dft_buf, da1_buf, da2_buf) = rest[4:]
+         dft_buf, da1_buf, da2_buf) = rest
         pe_grad_refs = (dpe_ref, dwp_ref, dwpa1_ref, dwpa2_ref)
     else:
-        pe_refs = pe_grad_refs = None
-        (g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
+        pe_grad_refs = None
+        (dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
          dba2_ref, dft_buf, da1_buf, da2_buf) = rest
     tb = x_ref.shape[0]
     n = p + 1 + s
@@ -457,11 +468,12 @@ def _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref, dft_buf, da1_buf,
             a, b, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    dx = (dot_nt(dft, w_ref[:]) + dot_nt(da1_flat, wa1_ref[:]) +
-          dot_nt(da2_flat, wa2_ref[:]))
-    if feat_mask is not None:   # chain through the fused input dropout
-        dx = dx * feat_mask
-    dx_ref[:] = dx.reshape(tb, n, -1).astype(dx_ref.dtype)
+    if dx_ref is not None:
+        dx = (dot_nt(dft, w_ref[:]) + dot_nt(da1_flat, wa1_ref[:]) +
+              dot_nt(da2_flat, wa2_ref[:]))
+        if feat_mask is not None:   # chain through the fused input dropout
+            dx = dx * feat_mask
+        dx_ref[:] = dx.reshape(tb, n, -1).astype(dx_ref.dtype)
 
     # parameter grads accumulate across sequential grid steps
     dw_ref[:] += dot_tn(x, dft)
@@ -489,19 +501,29 @@ def _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref, dft_buf, da1_buf,
 def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                      ba1_ref, ba2_ref, ngp_ref, nsib_ref,
                      *rest, p, s, heads, dh, alpha, attn_drop, feat_drop,
-                     interpret, pe_drop=False):
+                     interpret, pe_drop=False, need_dx=True):
     """Backward of _fwd_pool_kernel: g_ref holds d(pools) [TB, 3, Dh]; the
     per-slot incoming grads are its class rows broadcast over valid slots,
     scaled by the 1/heads of the fused head mean."""
     if pe_drop:
         pe_refs = rest[:4]
-        (g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
+        rest = rest[4:]
+    else:
+        pe_refs = None
+    g_ref = rest[0]
+    rest = rest[1:]
+    if need_dx:
+        dx_ref, rest = rest[0], rest[1:]
+    else:
+        dx_ref = None
+    if pe_drop:
+        (dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
          dba2_ref, dpe_ref, dwp_ref, dwpa1_ref, dwpa2_ref,
-         dft_buf, da1_buf, da2_buf) = rest[4:]
+         dft_buf, da1_buf, da2_buf) = rest
         pe_grad_refs = (dpe_ref, dwp_ref, dwpa1_ref, dwpa2_ref)
     else:
-        pe_refs = pe_grad_refs = None
-        (g_ref, dx_ref, dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
+        pe_grad_refs = None
+        (dw_ref, dwa1_ref, dwa2_ref, dbft_ref, dba1_ref,
          dba2_ref, dft_buf, da1_buf, da2_buf) = rest
     tb = x_ref.shape[0]
     n = p + 1 + s
@@ -585,10 +607,10 @@ def _pick_tile(b: int, n: int, din: int, hd: int, factor: int = 1) -> int:
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15, 16))
 def fused_gat_layer(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
                     meta, p, heads, alpha, attn_drop, feat_drop, out_alpha,
-                    interpret):
+                    interpret, need_dx=True):
     """x: [B, N, Din]; fc: [Din, H*Dh]; wa1/wa2: [Din, H]; slot biases
     bias_ft [N, H*Dh], bias_a1/bias_a2 [N, H] (position-embedding
     decomposition — zeros when unused); meta = (ngp [B], nsib [B], seed).
@@ -602,7 +624,13 @@ def fused_gat_layer(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
     reproducing the reference's dropout over the full concatenated input
     (model_zoo.py:82) without materializing the concat. Use it with
     bias_ft/a1/a2 = zeros; requires feat_drop > 0 (otherwise precompute
-    the exact per-slot biases instead)."""
+    the exact per-slot biases instead).
+
+    need_dx=False (static): the caller guarantees x's cotangent is never
+    used (x is the non-trainable input feature tensor — TaxoExpan's word2vec
+    node features, dataset.py:130-133 fixed at ingest). The backward kernel
+    then skips the three dx matmuls and the [B, N, Din] dx write, and the
+    VJP returns zeros for x."""
     out, _ = _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
                         meta, p, heads, alpha, attn_drop, feat_drop,
                         out_alpha, interpret)
@@ -718,7 +746,7 @@ def _pe_grad_specs_shapes(pe_padded, heads):
 
 
 def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
-               residuals, g):
+               need_dx, residuals, g):
     # residual x / biases / pe are already slot-padded by _fused_fwd
     x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded, meta = residuals
     ngp, nsib, seed = meta
@@ -747,7 +775,12 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
                                alpha=alpha, attn_drop=attn_drop,
                                feat_drop=feat_drop, out_alpha=out_alpha,
                                interpret=interpret,
-                               pe_drop=pe_padded is not None)
+                               pe_drop=pe_padded is not None,
+                               need_dx=need_dx)
+    dx_specs = ([pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0))]
+                if need_dx else [])
+    dx_shapes = ([jax.ShapeDtypeStruct((b, n, din), x.dtype)]
+                 if need_dx else [])
     results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -766,8 +799,7 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
             ] + pe_specs + [
                 pl.BlockSpec((tb, n, hd), lambda i, *_: (i, 0, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0)),
+            out_specs=dx_specs + [
                 pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
@@ -781,8 +813,7 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
                 pltpu.VMEM((tb, n, heads), jnp.float32),  # da2
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, din), x.dtype),
+        out_shape=dx_shapes + [
             jax.ShapeDtypeStruct((din, hd), jnp.float32),
             jax.ShapeDtypeStruct((din, heads), jnp.float32),
             jax.ShapeDtypeStruct((din, heads), jnp.float32),
@@ -796,7 +827,11 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
       nsib.reshape(b, 1).astype(jnp.int32), *pe_operands, g)
-    dx, dw, dwa1, dwa2, dbft, dba1, dba2 = results[:7]
+    if need_dx:
+        dx, results = results[0], results[1:]
+    else:
+        dx = jnp.zeros((b, n, din), x.dtype)
+    dw, dwa1, dwa2, dbft, dba1, dba2 = results[:6]
     if pad:
         dx = dx[:, :n_orig]
         dbft = dbft[:n_orig]
@@ -804,7 +839,7 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
         dba2 = dba2[:n_orig]
     dpe_pack = None
     if pe_padded is not None:
-        dpe, dwp, dwpa1, dwpa2 = results[7:]
+        dpe, dwp, dwpa1, dwpa2 = results[6:]
         if pad:
             dpe = dpe[:n_orig]
         dpe_pack = (dpe, dwp, dwpa1, dwpa2)
@@ -815,10 +850,10 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(9, 10, 11, 12, 13, 14))
+                   nondiff_argnums=(9, 10, 11, 12, 13, 14, 15))
 def fused_gat_layer_pooled(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2,
                            pe_pack, meta, p, heads, alpha, attn_drop,
-                           feat_drop, interpret):
+                           feat_drop, interpret, need_dx=True):
     """Final-layer GAT with the head mean + position-class readout pools
     fused in: returns pools [B, 3, Dh] f32 = (sum over valid grandparent
     slots, anchor, sum over valid sibling slots) of the head-averaged
@@ -885,7 +920,7 @@ def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
 
 
 def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
-                      residuals, g):
+                      need_dx, residuals, g):
     # residual x / biases / pe are already slot-padded by _fused_pooled_fwd
     (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded, meta,
      n_orig) = residuals
@@ -910,7 +945,12 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
     kernel = functools.partial(_bwd_pool_kernel, p=p, s=s, heads=heads, dh=dh,
                                alpha=alpha, attn_drop=attn_drop,
                                feat_drop=feat_drop, interpret=interpret,
-                               pe_drop=pe_padded is not None)
+                               pe_drop=pe_padded is not None,
+                               need_dx=need_dx)
+    dx_specs = ([pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0))]
+                if need_dx else [])
+    dx_shapes = ([jax.ShapeDtypeStruct((b, n, din), x.dtype)]
+                 if need_dx else [])
     results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -929,8 +969,7 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
             ] + pe_specs + [
                 pl.BlockSpec((tb, 3, dh), lambda i, *_: (i, 0, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0)),
+            out_specs=dx_specs + [
                 pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
@@ -944,8 +983,7 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
                 pltpu.VMEM((tb, n, heads), jnp.float32),  # da2
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, din), x.dtype),
+        out_shape=dx_shapes + [
             jax.ShapeDtypeStruct((din, hd), jnp.float32),
             jax.ShapeDtypeStruct((din, heads), jnp.float32),
             jax.ShapeDtypeStruct((din, heads), jnp.float32),
@@ -960,7 +998,11 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
       ngp.reshape(b, 1).astype(jnp.int32),
       nsib.reshape(b, 1).astype(jnp.int32), *pe_operands,
       g.astype(jnp.float32))
-    dx, dw, dwa1, dwa2, dbft, dba1, dba2 = results[:7]
+    if need_dx:
+        dx, results = results[0], results[1:]
+    else:
+        dx = jnp.zeros((b, n, din), x.dtype)
+    dw, dwa1, dwa2, dbft, dba1, dba2 = results[:6]
     if n > n_orig:   # undo the slot padding of _fused_pooled_fwd
         dx = dx[:, :n_orig]
         dbft = dbft[:n_orig]
@@ -968,7 +1010,7 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
         dba2 = dba2[:n_orig]
     dpe_pack = None
     if pe_padded is not None:
-        dpe, dwp, dwpa1, dwpa2 = results[7:]
+        dpe, dwp, dwpa1, dwpa2 = results[6:]
         if n > n_orig:
             dpe = dpe[:n_orig]
         dpe_pack = (dpe, dwp, dwpa1, dwpa2)
@@ -980,7 +1022,7 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
 
 fused_gat_layer_pooled.defvjp(
     lambda x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
-    heads, alpha, attn_drop, feat_drop, interpret:
+    heads, alpha, attn_drop, feat_drop, interpret, need_dx:
         _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2,
                           pe_pack, meta, p, heads, alpha, attn_drop,
                           feat_drop, interpret),
@@ -989,7 +1031,7 @@ fused_gat_layer_pooled.defvjp(
 
 fused_gat_layer.defvjp(
     lambda x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
-    heads, alpha, attn_drop, feat_drop, out_alpha, interpret:
+    heads, alpha, attn_drop, feat_drop, out_alpha, interpret, need_dx:
         _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta,
                    p, heads, alpha, attn_drop, feat_drop, out_alpha,
                    interpret),
