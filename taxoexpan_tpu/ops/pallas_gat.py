@@ -591,6 +591,18 @@ def _vmem_cap_bytes() -> int:
                * 1024 * 1024)
 
 
+def _compiler_params(interpret):
+    """Raise Mosaic's scoped-vmem limit (default 16 MB) so the tile sizes
+    chosen by `_pick_tile` under TAXOEXPAN_VMEM_CAP_MB actually fit: the
+    kernel working set (x/ft/g tiles + weight blocks + double-buffered DMAs)
+    lives on the scoped-vmem stack, and the 16 MB default rejects any tile
+    much past the 10 MB cap. v5e has 128 MiB physical VMEM; 100 MiB leaves
+    room for Mosaic's own overheads."""
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _pick_tile(b: int, n: int, din: int, hd: int, factor: int = 1) -> int:
     """Largest power-of-two tile whose estimated working set fits the cap.
 
@@ -713,6 +725,7 @@ def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, hd), x.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
       bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
       bias_a2.astype(jnp.float32),
@@ -822,6 +835,7 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
             jax.ShapeDtypeStruct((n, heads), jnp.float32),
         ] + pe_out_shapes,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
       bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
       bias_a2.astype(jnp.float32),
@@ -910,6 +924,7 @@ def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
         ),
         out_shape=jax.ShapeDtypeStruct((b, 3, dh), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
       bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
       bias_a2.astype(jnp.float32),
@@ -992,6 +1007,7 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
             jax.ShapeDtypeStruct((n, heads), jnp.float32),
         ] + pe_out_shapes,
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
       bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
       bias_a2.astype(jnp.float32),
