@@ -47,6 +47,10 @@ class TaxonomyRanker:
                            else list(sampler.candidate_positions))
         self._hg = None
         self.mesh = mesh
+        if mesh is not None and getattr(model, "use_pallas", False):
+            # shard the fused Pallas kernel explicitly over the mesh
+            # (propagation._fused_call_spmd)
+            model.propagate.spmd = (mesh, "dp")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             ndev = mesh.shape["dp"]

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..ops import star
 from .init import dropout, embedding_params, uniform, xavier_normal
@@ -85,6 +86,78 @@ def apply_gcn_layer(params, h, norm, ngp, nsib, p_slots: int, *,
     return h
 
 
+# ------------------------------------------------------- fused-kernel dispatch
+
+def _fused_call(h, fc, wa1, wa2, z_ft, z_a1, z_a2, pe_pack, ngp, nsib, seed,
+                *, pooled, p_slots, num_heads, attn_drop, feat_drop,
+                out_alpha, interpret, input_grad):
+    from ..ops.pallas_gat import fused_gat_layer, fused_gat_layer_pooled
+    meta = (ngp, nsib, seed)
+    if pooled:
+        return fused_gat_layer_pooled(h, fc, wa1, wa2, z_ft, z_a1, z_a2,
+                                      pe_pack, meta, p_slots, num_heads,
+                                      LEAKY_ALPHA, attn_drop, feat_drop,
+                                      interpret, input_grad)
+    return fused_gat_layer(h, fc, wa1, wa2, z_ft, z_a1, z_a2, pe_pack, meta,
+                           p_slots, num_heads, LEAKY_ALPHA, attn_drop,
+                           feat_drop, out_alpha, interpret, input_grad)
+
+
+def _fused_call_spmd(spmd, h, fc, wa1, wa2, z_ft, z_a1, z_a2, pe_pack, ngp,
+                     nsib, seed, *, pooled, p_slots, num_heads, attn_drop,
+                     feat_drop, out_alpha, interpret, input_grad):
+    """Run the fused Pallas kernel under SPMD via shard_map.
+
+    `pallas_call` is a custom call with no GSPMD partitioning rules: under a
+    plain pjit over a mesh the kernel would be replicated (or fail) instead
+    of sharded. shard_map makes the partitioning explicit — each device runs
+    the kernel on its own batch shard, replacing the reference's
+    DataParallel scatter/replicate (base/base_trainer.py:16-19):
+
+    - the egonet batch (h / ngp / nsib) rides `axis` (the 'dp' batch axis);
+    - weights are replicated — shard_map's transpose psums their per-device
+      cotangents, which is exactly the DP gradient all-reduce;
+    - when the mesh has an 'mp' axis that divides the head count, attention
+      heads are tensor-parallel over it: fc/wa/bias columns are head-major,
+      so a column shard IS a head shard, and each device aggregates only its
+      own heads (communication deferred to the one flatten/mean boundary per
+      layer — the natural TP of multi-head graph attention);
+    - dropout seeds are decorrelated per batch shard (and per TP head group)
+      by folding the device's axis index in; along a redundant 'mp' axis the
+      seed is left identical so replicated computations stay bit-identical.
+    """
+    mesh, axis = spmd
+    mesh_shape = dict(mesh.shape)
+    tp = mesh_shape.get("mp", 1) if axis != "mp" else 1
+    use_tp = tp > 1 and num_heads % tp == 0
+    heads_local = num_heads // tp if use_tp else num_heads
+    col = P(None, "mp") if use_tp else P()
+    pe_spec = P() if pe_pack is None else (P(), col, col, col)
+
+    def body(h, fc, wa1, wa2, z_ft, z_a1, z_a2, pe_pack, ngp, nsib, seed):
+        seed = seed + jax.lax.axis_index(axis) * jnp.int32(1_000_003)
+        if use_tp:
+            seed = seed + jax.lax.axis_index("mp") * jnp.int32(7_368_787)
+        out = _fused_call(h, fc, wa1, wa2, z_ft, z_a1, z_a2, pe_pack, ngp,
+                          nsib, seed, pooled=pooled, p_slots=p_slots,
+                          num_heads=heads_local, attn_drop=attn_drop,
+                          feat_drop=feat_drop, out_alpha=out_alpha,
+                          interpret=interpret, input_grad=input_grad)
+        if pooled and use_tp:
+            # the kernel averaged over its local heads; rescale to the
+            # global head mean and reduce across the TP group
+            out = jax.lax.psum(out * (heads_local / num_heads), "mp")
+        return out
+
+    out_spec = P(axis, None, "mp") if (use_tp and not pooled) else P(axis)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), col, col, col, col, col, col, pe_spec,
+                  P(axis), P(axis), P()),
+        out_specs=out_spec, check_vma=False,
+    )(h, fc, wa1, wa2, z_ft, z_a1, z_a2, pe_pack, ngp, nsib, seed)
+
+
 # ----------------------------------------------------------------- GAT layers
 
 def init_gat_layer(key, in_dim: int, out_dim: int, num_heads: int,
@@ -111,7 +184,7 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
                     residual: bool = False, dtype=jnp.float32,
                     use_pallas: bool = False, pos_emb=None,
                     fuse_out_alpha=None, pool_output: bool = False,
-                    input_grad: bool = True):
+                    input_grad: bool = True, spmd=None):
     """One GATLayer forward (model_zoo.py:80-104). h: [B, N, Din] ->
     [B, N, H, Dh].
 
@@ -167,7 +240,6 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
         raise ValueError("pool_output requires the fused Pallas path "
                          "(use_pallas=True, residual=False)")
     if fuse_pallas:
-        from ..ops.pallas_gat import fused_gat_layer, fused_gat_layer_pooled
         seed = jax.random.randint(k_attn, (), 0, 2_147_483_647, jnp.int32)
         interpret = jax.default_backend() != "tpu"
         hd = fc.shape[1]
@@ -186,21 +258,20 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
             jnp.zeros((n, num_heads), jnp.float32)
         z_a2 = bias_a2 if bias_a2 is not None else \
             jnp.zeros((n, num_heads), jnp.float32)
+        call_kwargs = dict(pooled=pool_output, p_slots=p_slots,
+                           num_heads=num_heads,
+                           attn_drop=attn_drop if train else 0.0,
+                           feat_drop=feat_drop if train else 0.0,
+                           out_alpha=None if pool_output else fuse_out_alpha,
+                           interpret=interpret, input_grad=input_grad)
+        args = (h, fc, wa1.astype(dtype), wa2.astype(dtype), z_ft, z_a1,
+                z_a2, pe_pack, jnp.asarray(ngp), jnp.asarray(nsib), seed)
+        if spmd is not None:
+            out = _fused_call_spmd(spmd, *args, **call_kwargs)
+        else:
+            out = _fused_call(*args, **call_kwargs)
         if pool_output:
-            # final layer fused with head mean + readout class pools
-            return fused_gat_layer_pooled(
-                h, fc, wa1.astype(dtype), wa2.astype(dtype),
-                z_ft, z_a1, z_a2, pe_pack,
-                (ngp, nsib, seed), p_slots, num_heads, LEAKY_ALPHA,
-                attn_drop if train else 0.0,
-                feat_drop if train else 0.0, interpret, input_grad)
-        out = fused_gat_layer(
-            h, fc, wa1.astype(dtype), wa2.astype(dtype),
-            z_ft, z_a1, z_a2, pe_pack,
-            (ngp, nsib, seed), p_slots, num_heads, LEAKY_ALPHA,
-            attn_drop if train else 0.0,
-            feat_drop if train else 0.0,
-            fuse_out_alpha, interpret, input_grad)
+            return out
         return out.reshape(b, n, num_heads, -1)
     ft = (h @ fc).reshape(b, n, num_heads, -1)
     a1 = (h @ wa1.astype(dtype)).astype(jnp.float32)   # [B, N, H]
@@ -297,6 +368,10 @@ class GAT:
         import jax.numpy as _jnp
         self.dtype = dtype or _jnp.float32
         self.use_pallas = use_pallas
+        # (mesh, axis) set by the Trainer/Ranker/dryrun for SPMD execution of
+        # the fused Pallas kernel (shard_map — see _fused_call_spmd). None =
+        # single-device pallas_call / plain GSPMD for the XLA path.
+        self.spmd = None
         if pos_mode not in ("bias", "concat"):
             raise ValueError(f"pos_mode must be bias|concat, got {pos_mode!r}")
         # "bias": [h, pe] @ W == h @ W_h + pe @ W_p with the pe term folded
@@ -382,7 +457,7 @@ class GAT:
                                 use_pallas=self.use_pallas,
                                 pos_emb=pos_of(l) if use_bias_pos else None,
                                 fuse_out_alpha=None if res else fused_act,
-                                input_grad=in_grad(l))
+                                input_grad=in_grad(l), spmd=self.spmd)
             h = h.reshape(b, n, -1)        # flatten heads (model_zoo.py:186)
             if fused_act is None or res:
                 h = self.activation(h)
@@ -396,7 +471,8 @@ class GAT:
                             pos_emb=pos_of(self.num_layers)
                             if use_bias_pos else None,
                             pool_output=pool_readout,
-                            input_grad=in_grad(self.num_layers))
+                            input_grad=in_grad(self.num_layers),
+                            spmd=self.spmd)
         if pool_readout:
             return h                                       # [B, 3, out_dim]
         # mean over heads (model_zoo.py:189); back to f32 for readout/matcher

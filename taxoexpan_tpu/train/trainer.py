@@ -115,6 +115,11 @@ class Trainer:
         if feature_mode == "partitioned" and mesh is None:
             raise ValueError("feature_mode='partitioned' requires a mesh")
         self.feature_mode = feature_mode
+        if mesh is not None and getattr(model, "use_pallas", False):
+            # the fused Pallas kernel must be explicitly shard_map'ed over
+            # the mesh (pallas_call has no GSPMD partitioning rules) — see
+            # propagation._fused_call_spmd
+            model.propagate.spmd = (mesh, "dp")
         if mesh is not None:
             self.replicated = NamedSharding(mesh, P())
             self.batch_sharding = NamedSharding(mesh, P("dp"))

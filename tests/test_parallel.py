@@ -59,11 +59,12 @@ CFG = {"batch_size": 16, "negative_size": 7, "expand_factor": 6,
        "sampling_mode": 1, "shuffle": True}
 
 
-def _make_trainer(tmp_path, mesh, feature_mode):
+def _make_trainer(tmp_path, mesh, feature_mode, arch=None):
+    arch = arch or ARCH
     taxo = synthetic_taxonomy(num_nodes=300, dim=16, seed=7)
     sampler = builders.build_sampler(taxo, CFG, "train", seed=5)
     loader = builders.build_loader(sampler, CFG, seed=5)
-    model = builders.build_model(ARCH, max_parents=sampler.max_parents,
+    model = builders.build_model(arch, max_parents=sampler.max_parents,
                                  expand_factor=sampler.expand_factor)
     params = model.init(jax.random.PRNGKey(0))
     opt = builders.build_optimizer_from_config(
@@ -78,6 +79,78 @@ def _make_trainer(tmp_path, mesh, feature_mode):
                                        "monitor": "off"}},
                    mesh=mesh, feature_mode=feature_mode,
                    save_dir=tmp_path, rng_seed=3)
+
+
+def test_pallas_spmd_matches_single_device(rng):
+    """The production combination: fused Pallas kernel (interpret on CPU)
+    under a dp x mp mesh via shard_map — forward AND grads must match the
+    single-device kernel (no dropout -> deterministic)."""
+    import jax.numpy as jnp
+
+    from taxoexpan_tpu.data.egobatch import EgoBatch, GroupBatch
+    from taxoexpan_tpu.losses import info_nce_loss
+    from taxoexpan_tpu.models import TaxoExpan
+
+    model = TaxoExpan("PGAT", "WMR", "BIM", kernel="pallas", in_dim=16,
+                      hidden_dim=16, out_dim=8, pos_dim=4, num_layers=1,
+                      heads=[2, 1], feat_drop=0.0, attn_drop=0.0,
+                      max_parents=3, expand_factor=7)
+    params = model.init(jax.random.PRNGKey(0))
+    g, c, n = 8, 4, 3 + 1 + 7
+    b = g * c
+    ego = EgoBatch(node_ids=rng.integers(0, 100, (b, n)).astype(np.int32),
+                   ngp=rng.integers(0, 4, (b,)).astype(np.int32),
+                   nsib=rng.integers(0, 8, (b,)).astype(np.int32))
+    labels = np.zeros((g, c), np.float32)
+    labels[:, 0] = 1.0
+    batch = GroupBatch(ego=ego,
+                       query_ids=rng.integers(0, 100, (g,)).astype(np.int32),
+                       query_feats=None, labels=labels,
+                       cand_mask=np.ones((g, c), bool))
+    table = jnp.asarray(rng.normal(size=(100, 16)).astype(np.float32))
+
+    def loss_fn(p, bt, t):
+        s = model.forward(p, bt, t, rng=jax.random.PRNGKey(1), train=True)
+        return info_nce_loss(s, jnp.asarray(bt.labels),
+                             jnp.asarray(bt.cand_mask))
+
+    model.propagate.spmd = None
+    s_ref = np.asarray(model.forward(params, batch, table,
+                                     rng=jax.random.PRNGKey(1), train=False))
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss_fn))(params, batch, table)
+
+    mesh = make_mesh({"dp": 4, "mp": 2})   # heads=2 % mp=2 == 0 -> head-TP
+    model.propagate.spmd = (mesh, "dp")
+    dev_batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), NamedSharding(mesh, P("dp"))),
+        batch)
+    s_spmd = np.asarray(jax.jit(
+        lambda p, bt, t: model.forward(p, bt, t, rng=jax.random.PRNGKey(1),
+                                       train=False))(params, dev_batch, table))
+    np.testing.assert_allclose(s_spmd, s_ref, rtol=2e-4, atol=1e-5)
+    l_spmd, g_spmd = jax.jit(jax.value_and_grad(loss_fn))(params, dev_batch,
+                                                          table)
+    np.testing.assert_allclose(float(l_spmd), float(l_ref), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_ref),
+                     jax.tree_util.tree_leaves(g_spmd)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_dp_pallas_trainer_matches_xla(tmp_path):
+    """Trainer with kernel='pallas' on the dp mesh == kernel='xla' (the mesh
+    tests previously only exercised the XLA path — VERDICT r1 Missing #1)."""
+    mesh = data_parallel_mesh()
+    arch_pal = {"args": dict(ARCH["args"], kernel="pallas")}
+    t_xla = _make_trainer(tmp_path / "xla", mesh, "replicated")
+    log_xla = t_xla._train_epoch(1)
+    t_pal = _make_trainer(tmp_path / "pal", mesh, "replicated",
+                          arch=arch_pal)
+    log_pal = t_pal._train_epoch(1)
+    np.testing.assert_allclose(log_pal["loss"], log_xla["loss"], rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(t_xla.params),
+                    jax.tree_util.tree_leaves(t_pal.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
 def test_dp_and_partitioned_agree(tmp_path):
