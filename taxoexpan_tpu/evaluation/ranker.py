@@ -116,9 +116,16 @@ class TaxonomyRanker:
     # ---------------------------------------------------------- evaluation
     def evaluate(self, metric_names: list[str], rank_mode: int,
                  case_study: bool = False) -> tuple[dict, list[list[str]]]:
-        """Rank every test query against all candidates; per-query metric
+        """Rank every test query against its candidate set; per-query metric
         accumulation exactly as test_fast.py:116-140 (metrics averaged over
-        queries)."""
+        queries).
+
+        Reference parity (dataset.py:319-325): a query's negatives are the
+        candidate positions MINUS its node2masks set (descendants ∪ parents
+        ∪ self ∪ roots — positions that can never be negatives), optionally
+        retrieval-prefiltered to the `test_topk` nearest candidates by
+        embedding cosine distance (sampler.eval_negatives). Positives are
+        always ranked; masked positions are excluded from the comparison."""
         s = self.sampler
         queries = list(s.node_list)
         metric_fns = [metrics_mod.get_metric(m) for m in metric_names]
@@ -137,11 +144,19 @@ class TaxonomyRanker:
             pos_idx = [cand_index[p] for p in parents if p in cand_index]
             if not pos_idx:
                 continue
+            neg_mask = self._negative_mask(query, cand_index)
             ranks = [metrics_mod.ranks_from_scores(scores[qi], pos_idx,
-                                                   mode=rank_mode)]
+                                                   mode=rank_mode,
+                                                   neg_mask=neg_mask)]
             row: list[str] = []
             if case_study:
-                order = np.argsort(scores[qi], kind="stable")
+                # predictions come from the query's candidate set:
+                # positives + unmasked (possibly prefiltered) negatives
+                allowed = neg_mask.copy()
+                allowed[np.asarray(pos_idx, dtype=np.int64)] = True
+                qscores = np.where(allowed, scores[qi],
+                                   -np.inf if rank_mode == 1 else np.inf)
+                order = np.argsort(qscores, kind="stable")
                 if rank_mode == 1:   # similarity: larger better
                     order = order[::-1]
                 top5 = [self.candidates[i] for i in order[:5]]
@@ -161,11 +176,51 @@ class TaxonomyRanker:
         result["test_topk"] = s.test_topk
         return result, cases
 
+    def _negative_mask(self, query: int, cand_index: dict[int, int]
+                       ) -> np.ndarray:
+        """Bool [C]: which candidate columns are usable negatives for `query`
+        — the complement of node2masks (dataset.py:319-320), shrunk to the
+        test_topk retrieval pool when set (dataset.py:321-325)."""
+        s = self.sampler
+        if s.test_topk != -1:
+            mask = np.zeros(len(self.candidates), dtype=bool)
+            for n in s.eval_negatives(query):
+                i = cand_index.get(n)
+                if i is not None:
+                    mask[i] = True
+            return mask
+        mask = np.ones(len(self.candidates), dtype=bool)
+        for n in s.node2masks.get(query, ()):
+            i = cand_index.get(n)
+            if i is not None:
+                mask[i] = False
+        return mask
+
     # --------------------------------------------------------------- infer
     def predict_parents(self, query_feats: np.ndarray, rank_mode: int,
                         topk: int = 5) -> list[list[int]]:
-        """Top-k candidate parents per novel query (infer.py:94-106)."""
+        """Top-k candidate parents per novel query (infer.py:94-106).
+
+        When the sampler carries `test_topk > 0`, candidates are first
+        retrieval-prefiltered to the test_topk nearest positions by embedding
+        cosine distance (the same two-stage retrieve-then-rank scheme as
+        dataset.py:321-325, applied to novel query embeddings)."""
         scores = self.score(query_feats)
+        prefilter = self.sampler.test_topk
+        if prefilter != -1:
+            q = np.asarray(query_feats, dtype=np.float32)
+            qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                                1e-12)
+            cand = self.feature_table[np.asarray(self.candidates)]
+            cn = cand / np.maximum(
+                np.linalg.norm(cand, axis=1, keepdims=True), 1e-12)
+            dist = 1.0 - qn @ cn.T                           # [Q, C]
+            k = min(prefilter, dist.shape[1])
+            kept = np.argpartition(dist, k - 1, axis=1)[:, :k]
+            allowed = np.zeros(dist.shape, dtype=bool)
+            np.put_along_axis(allowed, kept, True, axis=1)
+            scores = np.where(allowed, scores,
+                              -np.inf if rank_mode == 1 else np.inf)
         out = []
         for row in scores:
             order = np.argsort(row, kind="stable")

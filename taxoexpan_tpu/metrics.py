@@ -48,12 +48,22 @@ def ranks_from_groups(scores: np.ndarray, labels: np.ndarray,
 
 
 def ranks_from_scores(all_scores: np.ndarray, positive_idx,
-                      mode: int = 1) -> list[int]:
+                      mode: int = 1, neg_mask=None) -> list[int]:
     """Rank positives among a flat candidate score vector
-    (calculate_ranks_from_{similarities,distance}, metric.py:7-31)."""
+    (calculate_ranks_from_{similarities,distance}, metric.py:7-31).
+
+    `neg_mask` (bool [C], optional): which entries count as negatives. The
+    evaluation engine passes the complement of the query's node2masks set
+    (descendants ∪ parents ∪ self ∪ roots are never negatives,
+    dataset.py:247-259,319-320), optionally shrunk to the test_topk
+    retrieval pool (dataset.py:321-325). Default: everything but the
+    positives, as before."""
     all_scores = np.asarray(all_scores).reshape(-1)
     positive_idx = np.asarray(positive_idx, dtype=np.int64)
-    neg_mask = np.ones(all_scores.shape[0], dtype=bool)
+    if neg_mask is None:
+        neg_mask = np.ones(all_scores.shape[0], dtype=bool)
+    else:
+        neg_mask = np.asarray(neg_mask, dtype=bool).copy()
     neg_mask[positive_idx] = False
     pos_scores = all_scores[positive_idx]
     if mode == 1:

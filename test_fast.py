@@ -38,9 +38,18 @@ def main(config, args_outer):
 
     rank_mode = 1 if config["loss"].startswith("info_nce") else 0
     encode_chunk = args_outer.batch_size if args_outer.batch_size > 0 else 4096
+    mesh = None
+    if args_outer.mesh:
+        # shard anchor encoding over all visible devices (the multi-chip
+        # replacement for the reference's single-GPU --batch_size 30000
+        # chunking, test_fast.py:149-179)
+        from taxoexpan_tpu.parallel import data_parallel_mesh
+        mesh = data_parallel_mesh()
+        logger.info("Sharding anchor encoding over %d devices",
+                    mesh.devices.size)
     ranker = TaxonomyRanker(model, params, sampler,
                             sampler.node_features,
-                            encode_chunk=encode_chunk)
+                            encode_chunk=encode_chunk, mesh=mesh)
     logger.info("Number of queries: %d", len(sampler.node_list))
     result, cases = ranker.evaluate(config["metrics"], rank_mode,
                                     case_study=need_case_study)
@@ -68,6 +77,9 @@ if __name__ == "__main__":
                            "(use e.g. 30000 for MAG-Full scale)")
     args.add_argument("-c", "--case", default="", type=str,
                       help="case study output TSV ('' = disabled)")
+    args.add_argument("-m", "--mesh", action="store_true",
+                      help="shard anchor encoding over all devices "
+                           "(data-parallel evaluation mesh)")
     args_outer = args.parse_args()
     config = ConfigParser(args)
     main(config, args_outer)
