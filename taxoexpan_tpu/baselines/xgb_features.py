@@ -129,6 +129,91 @@ def generate_supervision(taxonomy: Taxonomy, negative_size: int = 30,
     return np.asarray(rows, np.float32), np.asarray(labels, np.float32)
 
 
+# Hill-climb tuning grid + starting point (model_tuning.py:14-44). The
+# objective stays 'binary:logistic'; sweep order IS the reference's dict
+# order and is part of the algorithm (later sweeps see earlier winners).
+TUNE_DEFAULT_PARAM = {
+    "objective": "binary:logistic",
+    "max_depth": 6,
+    "min_child_weight": 5,
+    "gamma": 0.0,
+    "subsample": 0.5,
+    "colsample_bytree": 0.8,
+    "reg_alpha": 1.0,
+    "reg_lambda": 0.1,
+    "eta": 0.1,
+    "importance_type": "weight",
+    "random_state": 0,
+    "tree_method": "hist",
+    "eval_metric": ["error", "auc"],
+}
+TUNE_PARAM_GRID = {
+    "max_depth": [3, 4, 5, 6, 7, 8],
+    "min_child_weight": [0, 3, 5, 10, 15, 20, 50],
+    "gamma": [0.0, 0.1, 0.2, 0.3, 0.4, 0.5],
+    "subsample": [0.5, 0.6, 0.7, 0.8, 0.9, 1.0],
+    "colsample_bytree": [0.5, 0.6, 0.7, 0.8, 0.9, 1.0],
+    "reg_alpha": [1e-5, 1e-2, 0.1, 1, 10],
+    "reg_lambda": [1e-5, 1e-2, 0.1, 1, 10],
+    "eta": [0.01, 0.03, 0.1, 0.3, 1.0, 3.0],
+    "random_state": [0, 7, 19, 47, 147, 940622],
+    "importance_type": ["gain", "weight", "cover", "total_gain",
+                        "total_cover"],
+}
+
+
+def tune_booster(x_train=None, y_train=None, x_val=None, y_val=None, *,
+                 grid: dict | None = None, defaults: dict | None = None,
+                 num_rounds: int = 100, early_stopping_rounds: int = 10,
+                 train_fn=None, verbose: bool = False):
+    """Coordinate-wise hill-climb over the hyper-parameter grid
+    (model_tuning.py:46-67): sweep each parameter in grid order, keep the
+    value with the best early-stopped validation score (ties break toward
+    the LAST tied value, matching the reference's `>=`), and carry the
+    winner into every later sweep. Returns (best_params, best_metric).
+
+    `train_fn(params) -> score` overrides the xgboost objective — used by
+    unit tests to exercise the loop without xgboost (absent in this image).
+    """
+    params = dict(defaults if defaults is not None else TUNE_DEFAULT_PARAM)
+    grid = dict(grid if grid is not None else TUNE_PARAM_GRID)
+    if train_fn is None:
+        try:
+            import xgboost as xgb
+        except ImportError as e:
+            raise RuntimeError(
+                "xgboost is not installed in this environment; pass "
+                "train_fn= to tune a different objective, or install "
+                "xgboost (model_tuning.py equivalent)") from e
+        dtrain = xgb.DMatrix(x_train, label=y_train)
+        dval = xgb.DMatrix(x_val, label=y_val)
+        evallist = [(dtrain, "train"), (dval, "eval")]
+
+        def train_fn(p):
+            bst = xgb.train(p, dtrain=dtrain, num_boost_round=num_rounds,
+                            evals=evallist,
+                            early_stopping_rounds=early_stopping_rounds,
+                            verbose_eval=False)
+            return float(bst.best_score)
+
+    best_metric = None
+    for name, values in grid.items():
+        if verbose:
+            print(f"=== tuning {name} ===")
+        best_metric = -1e10
+        best_value = None
+        for value in values:
+            params[name] = value
+            cur = train_fn(dict(params))
+            if cur >= best_metric:
+                best_metric = cur
+                best_value = value
+        params[name] = best_value
+        if verbose:
+            print(f"  best {name}: {best_value} (metric {best_metric})")
+    return params, best_metric
+
+
 def train_booster(x: np.ndarray, y: np.ndarray, num_rounds: int = 200,
                   params: dict | None = None):
     try:
@@ -184,12 +269,21 @@ if __name__ == "__main__":
     p.add_argument("--train", action="store_true",
                    help="train + evaluate an xgboost booster (requires "
                         "xgboost)")
+    p.add_argument("--tune", action="store_true",
+                   help="hill-climb the hyper-parameter grid on an 80/20 "
+                        "row split before the final fit (model_tuning.py)")
     p.add_argument("--negative_size", type=int, default=30)
     args = p.parse_args()
     taxo = Taxonomy.load(args.data)
     x, y = generate_supervision(taxo, negative_size=args.negative_size)
     print(f"supervision matrix: {x.shape}, positives: {int(y.sum())}")
+    params = None
+    if args.tune:
+        split = int(0.8 * len(x))
+        params, metric = tune_booster(x[:split], y[:split], x[split:],
+                                      y[split:], verbose=True)
+        print(f"tuned params (val metric {metric}): {params}")
     if args.train:
-        booster = train_booster(x, y)
+        booster = train_booster(x, y, params=params)
         for k, v in evaluate(taxo, booster).items():
             print(f"{k}: {v}")

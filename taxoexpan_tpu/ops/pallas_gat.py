@@ -596,11 +596,17 @@ def _compiler_params(interpret):
     chosen by `_pick_tile` under TAXOEXPAN_VMEM_CAP_MB actually fit: the
     kernel working set (x/ft/g tiles + weight blocks + double-buffered DMAs)
     lives on the scoped-vmem stack, and the 16 MB default rejects any tile
-    much past the 10 MB cap. v5e has 128 MiB physical VMEM; 100 MiB leaves
-    room for Mosaic's own overheads."""
+    much past the 10 MB cap. The limit is DERIVED from the cap (2x headroom
+    covers double-buffered block DMAs + per-head temporaries the `_pick_tile`
+    estimate omits) so raising TAXOEXPAN_VMEM_CAP_MB keeps cap and compiler
+    limit consistent: floored at 100 MiB (the validated v5e default) and
+    clamped to the 128 MiB physical VMEM of the v4/v5 parts — a limit above
+    physical would let Mosaic schedule allocations that cannot exist."""
     if interpret:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    limit = min(max(2 * _vmem_cap_bytes(), 100 * 1024 * 1024),
+                128 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
 def _pick_tile(b: int, n: int, din: int, hd: int, factor: int = 1) -> int:

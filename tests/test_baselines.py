@@ -77,3 +77,42 @@ def test_generate_supervision(taxo):
     assert x.shape[1] == NUM_FEATURES
     assert set(np.unique(y)) <= {0.0, 1.0}
     assert y.sum() > 0 and (y == 0).sum() > 0
+
+
+def test_tune_booster_hill_climb():
+    """Hill-climb semantics vs model_tuning.py:46-67: per-coordinate argmax
+    with >= tie-breaking (last tied value wins), winners carried forward."""
+    from taxoexpan_tpu.baselines.xgb_features import tune_booster
+
+    grid = {"a": [1, 2, 3], "b": [10, 20], "c": [5, 5]}
+    calls = []
+
+    def objective(params):
+        calls.append(dict(params))
+        # best at a=2; b's score depends on the carried-forward a;
+        # c's values tie -> the LAST one must win (reference uses >=)
+        score = -abs(params["a"] - 2) * 10
+        if params["a"] == 2:
+            score += params["b"]  # only rewards b when a's winner carried
+        return float(score)
+
+    best, metric = tune_booster(grid=grid, defaults={"a": 0, "b": 0, "c": 0},
+                                train_fn=objective)
+    assert best["a"] == 2 and best["b"] == 20
+    assert best["c"] == 5  # last tied value
+    assert len(calls) == 3 + 2 + 2
+    # sweep of b happened with the tuned a in place
+    assert all(c["a"] == 2 for c in calls[3:5])
+    assert metric == 20.0
+
+
+def test_tune_booster_without_xgboost_raises():
+    from taxoexpan_tpu.baselines.xgb_features import tune_booster
+    try:
+        import xgboost  # noqa: F401
+        pytest.skip("xgboost present; error path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="xgboost"):
+        tune_booster(np.zeros((4, 2)), np.zeros(4), np.zeros((2, 2)),
+                     np.zeros(2))

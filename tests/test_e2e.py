@@ -163,6 +163,10 @@ def test_cli_train_and_eval(tmp_path):
     cfg["arch"]["args"].update(in_dim=16, hidden_dim=32, out_dim=32, pos_dim=8,
                                heads=[2, 1])
     cfg["trainer"].update(epochs=2, save_dir=str(tmp_path / "saved"))
+    # exercise the "parallel" config surface end to end: the subprocess
+    # inherits the 8-virtual-CPU-device XLA_FLAGS, so train.py builds a
+    # dp=4 x mp=2 mesh (head-tensor-parallel GAT heads)
+    cfg["parallel"] = {"mp": 2}
     cfg_path = tmp_path / "cfg.json"
     cfg_path.write_text(json.dumps(cfg))
 

@@ -1,0 +1,54 @@
+"""CPU-checkable guards for the Pallas kernel's compile-time configuration.
+
+CI runs interpret=True where `_compiler_params` returns None, so without
+these tests a pltpu.CompilerParams API drift (or a cap/limit inconsistency)
+would only surface as a confusing Mosaic error on real hardware.
+"""
+import os
+
+from taxoexpan_tpu.ops.pallas_gat import (_compiler_params, _pick_tile,
+                                          _vmem_cap_bytes)
+
+
+def _with_cap(mb, fn):
+    old = os.environ.get("TAXOEXPAN_VMEM_CAP_MB")
+    os.environ["TAXOEXPAN_VMEM_CAP_MB"] = str(mb)
+    try:
+        return fn()
+    finally:
+        if old is None:
+            del os.environ["TAXOEXPAN_VMEM_CAP_MB"]
+        else:
+            os.environ["TAXOEXPAN_VMEM_CAP_MB"] = old
+
+
+def test_compiler_params_constructs_on_cpu():
+    # interpret mode never builds CompilerParams; make sure the compiled-mode
+    # path at least constructs (catches jax API drift without a TPU)
+    cp = _compiler_params(True)
+    assert cp is None
+    cp = _compiler_params(False)
+    assert cp is not None
+    assert cp.vmem_limit_bytes == 100 * 1024 * 1024  # floor at default cap
+
+
+def test_compiler_limit_tracks_env_cap():
+    # raising the tile cap must raise the Mosaic scoped-vmem limit with it
+    # (2x headroom, clamped to 128 MiB physical), otherwise large-tile
+    # experiments fail at compile
+    cp = _with_cap(60, lambda: _compiler_params(False))
+    assert cp.vmem_limit_bytes == 2 * 60 * 1024 * 1024
+    cp = _with_cap(96, lambda: _compiler_params(False))
+    assert cp.vmem_limit_bytes == 128 * 1024 * 1024
+    assert _with_cap(60, _vmem_cap_bytes) == 60 * 1024 * 1024
+
+
+def test_pick_tile_monotone_in_cap():
+    # bench first-layer shape: B=4096 egonets, N=64 slots, Din=300, H*Dh=2000
+    small = _with_cap(10, lambda: _pick_tile(4096, 64, 300, 2000))
+    big = _with_cap(64, lambda: _pick_tile(4096, 64, 300, 2000))
+    assert 1 <= small <= big <= 32
+    assert big == 32  # 64 MB fits the largest tile at this shape
+    # backward (factor=2) never exceeds the forward tile at equal cap
+    bwd = _with_cap(64, lambda: _pick_tile(4096, 64, 300, 2000, factor=2))
+    assert bwd <= big

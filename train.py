@@ -14,7 +14,7 @@ import jax
 
 from taxoexpan_tpu import builders
 from taxoexpan_tpu.config import ConfigParser, CustomArg
-from taxoexpan_tpu.parallel import data_parallel_mesh
+from taxoexpan_tpu.parallel import make_mesh
 from taxoexpan_tpu.train import Trainer
 
 
@@ -48,14 +48,27 @@ def main(config):
     opt_state = optimizer.init(params)
     scheduler = builders.build_scheduler(config.get("lr_scheduler"))
 
+    # "parallel": {"dp": N, "mp": M, "feature_mode": ...} — dp shards the
+    # group batch; mp runs GAT attention heads tensor-parallel when it
+    # divides the head count (propagation._fused_call_spmd). dp defaults to
+    # all devices left over after mp.
+    par_cfg = config.get("parallel", {})
     n_dev = len(jax.devices())
-    mesh = data_parallel_mesh() if n_dev > 1 else None
-    if mesh is not None:
-        logger.info("Data-parallel mesh over %d devices", n_dev)
+    mp = int(par_cfg.get("mp", 1))
+    if mp > 1 and n_dev % mp:
+        logger.warning("parallel.mp=%d does not divide %d devices; "
+                       "disabling tensor parallelism", mp, n_dev)
+        mp = 1
+    dp = int(par_cfg.get("dp", 0)) or n_dev // mp
+    if dp * mp > 1:
+        shape = {"dp": dp} if mp == 1 else {"dp": dp, "mp": mp}
+        mesh = make_mesh(shape, jax.devices()[:dp * mp])
+        logger.info("SPMD mesh: %s over %d devices", shape, dp * mp)
+    else:
+        mesh = None
     # "parallel": {"feature_mode": "partitioned"} shards the embedding table
     # across the mesh with all-to-all gathers (parallel/partition.py)
-    feature_mode = config.get("parallel", {}).get("feature_mode",
-                                                  "replicated")
+    feature_mode = par_cfg.get("feature_mode", "replicated")
     if mesh is None:
         feature_mode = "replicated"
 
