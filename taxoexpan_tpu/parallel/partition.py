@@ -53,8 +53,21 @@ def shard_table(features: np.ndarray, mesh: Mesh, axis: str = "dp"):
         NamedSharding(mesh, P(axis, None)))
 
 
+def bucket_capacity(n: int, p: int, factor: float = 2.0) -> int:
+    """Per-owner request-bucket size: `factor` x the balanced load n/p,
+    rounded up to the 8-row sublane, clamped to n. Round-robin ownership
+    (`id % P`) keeps real bucket loads near n/p, so factor=2 is generous;
+    `partitioned_gather` fails loudly (NaN outputs + a debug print) if a
+    bucket ever overflows rather than silently dropping requests."""
+    if p <= 1:
+        return n
+    cap = -(-int(n * factor) // p)
+    return min(-(-cap // 8) * 8, n)
+
+
 def partitioned_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
-                       axis: str = "dp") -> jax.Array:
+                       axis: str = "dp", capacity_factor: float = 2.0
+                       ) -> jax.Array:
     """Gather rows of a row-partitioned table by global node id.
 
     table: owner-major sharded array from `shard_table` ([V, D], shard k
@@ -65,20 +78,50 @@ def partitioned_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
     Implementation: shard_map over `axis`; per device, bucket requests by
     owner into fixed-size buffers, all_to_all them, answer with local gathers,
     all_to_all back, then scatter into request order.
+
+    Requests are DEDUPLICATED per device before the exchange: ego-batches are
+    duplicate-heavy (pad slots, hub nodes, shared anchors), and duplicates of
+    one id all land on one owner — deduping both cuts traffic and restores
+    the balance assumption behind round-robin ownership (distinct ids spread
+    ~uniformly over `id % P`). Unused dedup slots are routed round-robin by
+    position so they add exactly-even load.
+
+    Buckets are sized `capacity_factor * n / P` (bucket_capacity) instead of
+    the worst-case n, so each two-hop exchange moves ~2n rows total rather
+    than P*n. A bucket overflow (pathologically skewed DISTINCT ids) poisons
+    the overflowed rows with NaN and emits a debug print — loss goes NaN
+    immediately instead of training on silently-wrong features. Raise
+    `capacity_factor` if that ever fires.
     """
     p = mesh.shape[axis]
     d = table.shape[1]
-    ids_shape = ids.shape
 
     def local_fn(table_local, ids_local):
         # table_local: [V/P, D]; ids_local: [...] local batch shard
-        flat = ids_local.reshape(-1)
-        n = flat.shape[0]
+        req_ids = ids_local.reshape(-1)
+        n = req_ids.shape[0]
+
+        # ---- dedup: map each request to a unique-id slot -----------------
+        order = jnp.argsort(req_ids)
+        sid = req_ids[order]                                # sorted ids
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+        uslot_sorted = (jnp.cumsum(first) - 1).astype(jnp.int32)
+        num_unique = uslot_sorted[-1] + 1
+        # request position -> its unique slot
+        uslot = jnp.zeros((n,), jnp.int32).at[order].set(uslot_sorted)
+        # representative id per unique slot (duplicate writes carry the
+        # same value); unused tail slots get owner = position % p so the
+        # padding load is exactly even
+        pos = jnp.arange(n, dtype=req_ids.dtype)
+        uid = jnp.zeros((n,), req_ids.dtype).at[uslot_sorted].set(sid)
+        flat = jnp.where(pos >= num_unique, pos, uid)
+
         owner = flat % p
         local_slot = flat // p
 
         # stable bucket-by-owner: position of each request within its bucket
-        cap = n  # worst case: all requests to one owner
+        cap = bucket_capacity(n, p, capacity_factor)
         sort_idx = jnp.argsort(owner, stable=True)          # group by owner
         sorted_owner = owner[sort_idx]
         sorted_slot = local_slot[sort_idx]
@@ -86,12 +129,14 @@ def partitioned_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
         positions = jnp.arange(n, dtype=jnp.int32)
         bucket_start = jnp.searchsorted(sorted_owner, jnp.arange(p))
         rank_in_bucket = positions - bucket_start[sorted_owner]
+        overflowed = rank_in_bucket >= cap                  # [n] per request
 
         # request buffer [P, cap]: bucket per destination owner
+        # (mode="drop": an overflowed scatter index is discarded, and the
+        # matching output row is poisoned below)
         req = jnp.zeros((p, cap), dtype=jnp.int32)
-        req = req.at[sorted_owner, rank_in_bucket].set(sorted_slot)
-        valid = jnp.zeros((p, cap), dtype=bool)
-        valid = valid.at[sorted_owner, rank_in_bucket].set(True)
+        req = req.at[sorted_owner, rank_in_bucket].set(
+            sorted_slot, mode="drop")
 
         # hop 1: send requests to owners
         incoming = jax.lax.all_to_all(req, axis, 0, 0, tiled=False)
@@ -101,10 +146,24 @@ def partitioned_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
         # hop 2: return feature rows to requesters
         returned = jax.lax.all_to_all(answers, axis, 0, 0, tiled=False)
 
-        # un-bucket into request order
-        out_sorted = returned[sorted_owner, rank_in_bucket]  # [n, D]
-        out = jnp.zeros((n, d), dtype=table_local.dtype)
-        out = out.at[sort_idx].set(out_sorted)
+        # un-bucket into request order; poison overflowed rows
+        out_sorted = returned[sorted_owner,
+                              jnp.minimum(rank_in_bucket, cap - 1)]  # [n, D]
+        if cap < n:
+            # overflow of an unused dedup-padding slot is harmless (nothing
+            # maps back to it); only real unique slots count
+            real_over = overflowed & (sort_idx < num_unique)
+            jax.lax.cond(
+                jnp.any(real_over),
+                lambda: jax.debug.print(
+                    "partitioned_gather: request bucket overflow (cap={c}); "
+                    "raise capacity_factor", c=cap),
+                lambda: None)
+            nan = jnp.asarray(jnp.nan, out_sorted.dtype)
+            out_sorted = jnp.where(overflowed[:, None], nan, out_sorted)
+        rows = jnp.zeros((n, d), dtype=table_local.dtype)
+        rows = rows.at[sort_idx].set(out_sorted)            # per unique slot
+        out = rows[uslot]                                   # per request
         return out.reshape(*ids_local.shape, d)
 
     return jax.shard_map(

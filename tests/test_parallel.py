@@ -197,3 +197,53 @@ def test_dp_mp_trainer_matches_dp_only(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t_dp.params),
                     jax.tree_util.tree_leaves(t_mp.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_bucket_capacity():
+    from taxoexpan_tpu.parallel.partition import bucket_capacity
+    # factor x balanced load, rounded to the 8-row sublane, clamped to n
+    assert bucket_capacity(512, 8, 2.0) == 128
+    assert bucket_capacity(512, 8, 1.0) == 64
+    assert bucket_capacity(10, 8, 2.0) == 8
+    assert bucket_capacity(4, 8, 2.0) == 4      # clamp to n
+    assert bucket_capacity(512, 1, 2.0) == 512  # single owner: everything
+
+
+def test_partitioned_gather_dedups_duplicates(rng):
+    """Duplicate-heavy batches (the real egonet case: pad slots + hub nodes)
+    must dedup before the exchange — every request to ONE owner fits easily
+    once collapsed to its 8 distinct ids (VERDICT r1 #6)."""
+    mesh = data_parallel_mesh()
+    feats = rng.normal(size=(64, 4)).astype(np.float32)
+    table = shard_table(feats, mesh, "dp")
+    # 32 requests/device, all owned by device 0, only 8 distinct values
+    ids = (8 * rng.integers(0, 8, size=(256, 3))).astype(np.int32)
+    ids_dev = jax.device_put(ids, NamedSharding(mesh, P("dp")))
+    out = np.asarray(partitioned_gather(table, ids_dev, mesh, "dp",
+                                        capacity_factor=1.0))
+    assert not np.isnan(out).any()
+    np.testing.assert_allclose(out, feats[ids], atol=1e-6)
+
+
+def test_partitioned_gather_overflow_poisons():
+    """Pathologically skewed DISTINCT ids (32 unique ids, all owned by
+    device 0) must overflow the capacity-factor buckets and surface as NaN
+    rows — loud failure instead of silently-wrong features."""
+    rng = np.random.default_rng(3)
+    mesh = data_parallel_mesh()
+    feats = rng.normal(size=(512, 4)).astype(np.float32)
+    table = shard_table(feats, mesh, "dp")
+    # per-device shard = 32 rows -> 32 distinct multiples of 8 (owner 0)
+    ids = ((np.arange(256) % 32) * 8).astype(np.int32).reshape(256, 1)
+    ids_dev = jax.device_put(ids, NamedSharding(mesh, P("dp")))
+    out = np.asarray(partitioned_gather(table, ids_dev, mesh, "dp",
+                                        capacity_factor=1.0))[:, 0]
+    # cap = 1.0 * 32/8 -> 8 rows/bucket; 32 distinct to one owner -> 24 NaN
+    assert np.isnan(out).any()
+    finite = ~np.isnan(out).any(axis=1)
+    assert finite.any()
+    np.testing.assert_allclose(out[finite], feats[ids[finite, 0]], atol=1e-6)
+    # and a generous factor keeps the same ids overflow-free
+    out2 = np.asarray(partitioned_gather(table, ids_dev, mesh, "dp",
+                                         capacity_factor=8.0))
+    assert not np.isnan(out2).any()
