@@ -66,7 +66,9 @@ def build_model(arch_cfg: dict, *, max_parents: int,
         expand_factor=expand_factor,
         compute_dtype=a.get("compute_dtype", "float32"),
         kernel=a.get("kernel", "auto"),
-        pos_mode=a.get("pos_mode", "bias"))
+        pos_mode=a.get("pos_mode", "bias"),
+        attention_dim=a.get("attention_dim", 100),
+        aux_heads=a.get("aux_heads"))
 
 
 def build_optimizer_from_config(opt_cfg: dict, trainer_cfg: dict | None = None):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from .init import apply_linear, linear_params, uniform
 
-MATCH_KINDS = ("MLP", "BIM", "LBM", "NTN")
+MATCH_KINDS = ("MLP", "BIM", "LBM", "NTN", "PMLP")
 
 
 class Matcher:
@@ -33,9 +33,13 @@ class Matcher:
 
     def init(self, key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        if self.kind == "MLP":
+        if self.kind in ("MLP", "PMLP"):
             # Linear(l+r -> hidden), ReLU, Linear(hidden -> 1)
-            # (model_zoo.py:281-298)
+            # (model_zoo.py:281-298). PMLP is the matcher name of the
+            # retired PGAT_PATR_PMLP(_MTL)_Net archs (2019 config_files);
+            # its upstream implementation is gone — the name is kept for
+            # config compatibility and maps to the same MLP head over the
+            # PATR readout (see BASELINE.md).
             return {"fc1": linear_params(k1, self.l_dim + self.r_dim,
                                          self.hidden_dim),
                     "fc2": linear_params(k2, self.hidden_dim, 1)}
@@ -57,7 +61,7 @@ class Matcher:
     # -------------------------------------------------------------- pairwise
     def apply(self, params, e1: jax.Array, e2: jax.Array) -> jax.Array:
         """e1: [B, l_dim], e2: [B, r_dim] -> scores [B]."""
-        if self.kind == "MLP":
+        if self.kind in ("MLP", "PMLP"):
             x = jnp.concatenate([e1, e2], axis=-1)
             h = jax.nn.relu(apply_linear(params["fc1"], x))
             return apply_linear(params["fc2"], h)[..., 0]

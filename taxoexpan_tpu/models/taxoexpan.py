@@ -44,7 +44,9 @@ class TaxoExpan:
                  expand_factor: int = 50,
                  compute_dtype: str = "float32",
                  kernel: str = "auto",
-                 pos_mode: str = "bias"):
+                 pos_mode: str = "bias",
+                 attention_dim: int = 100,
+                 aux_heads: list | None = None):
         if propagation_method not in PROPAGATION_KINDS:
             raise ValueError(
                 f"Unacceptable Graph Propagation Method: {propagation_method}")
@@ -89,18 +91,40 @@ class TaxoExpan:
                                  use_pallas=use_pallas,
                                  pos_mode=pos_mode)
 
-        self.readout = Readout(readout_method, out_dim)
+        self.readout = Readout(readout_method, out_dim,
+                               attention_dim=attention_dim)
         # l_dim from readout (x3 for CR), r_dim = query feature dim
         # (model/model.py:45-57)
         self.matcher = Matcher(matching_method, self.readout.l_dim, in_dim,
                                hidden_dim)
+        # Multi-task auxiliary scoring heads (the `_MTL` arch suffix of the
+        # reference's retired PGAT_PATR_PMLP_MTL_Net,
+        # config_files/config.20190815_*_MTL.json — implementation gone
+        # upstream; reconstruction documented in BASELINE.md): each entry
+        # {"readout": ..., "matcher": ...} adds an extra (readout, matcher)
+        # pair sharing the propagation trunk. Training sums the loss over
+        # all heads (train/trainer.py); evaluation uses the primary head.
+        self.aux_heads = []
+        for spec in (aux_heads or []):
+            rd = Readout(spec.get("readout", "WMR"), out_dim,
+                         attention_dim=attention_dim)
+            mt = Matcher(spec.get("matcher", "BIM"), rd.l_dim, in_dim,
+                         hidden_dim)
+            self.aux_heads.append((rd, mt))
 
     # ------------------------------------------------------------------ params
     def init(self, key: jax.Array):
-        kp, kr, km = jax.random.split(key, 3)
-        return {"propagate": self.propagate.init(kp),
-                "readout": self.readout.init(kr),
-                "match": self.matcher.init(km)}
+        kp, kr, km, ka = jax.random.split(key, 4)
+        params = {"propagate": self.propagate.init(kp),
+                  "readout": self.readout.init(kr),
+                  "match": self.matcher.init(km)}
+        if self.aux_heads:
+            keys = jax.random.split(ka, 2 * len(self.aux_heads))
+            params["aux"] = [
+                {"readout": rd.init(keys[2 * i]),
+                 "match": mt.init(keys[2 * i + 1])}
+                for i, (rd, mt) in enumerate(self.aux_heads)]
+        return params
 
     @staticmethod
     def num_params(params) -> int:
@@ -178,6 +202,33 @@ class TaxoExpan:
         qf_per_ego = jnp.repeat(qf, c, axis=0)
         scores = self.match(params, hg, qf_per_ego)
         return scores.reshape(g, c)
+
+    def forward_heads(self, params, batch: GroupBatch,
+                      feature_table: jax.Array, *, rng: jax.Array,
+                      train: bool) -> jax.Array:
+        """All scoring heads over a shared propagation trunk: [1+H, G, C]
+        (row 0 = the primary readout/matcher). The MTL training path
+        (aux_heads) — the trainer sums the loss over rows."""
+        feats = self.gather_feats(feature_table, batch.ego)
+        qf = batch.query_feats if batch.query_feats is not None \
+            else feature_table[batch.query_ids]
+        g, c = batch.labels.shape
+        # per-slot propagation once, shared by every head (readout fusion
+        # into the final Pallas layer only serves the single-head path)
+        h = self.propagate.apply(params["propagate"], feats, batch.ego.ngp,
+                                 batch.ego.nsib, self.max_parents, rng=rng,
+                                 train=train)
+        qf_per_ego = jnp.repeat(qf, c, axis=0)
+        heads = [(self.readout, self.matcher, params["readout"],
+                  params["match"])]
+        for (rd, mt), hp in zip(self.aux_heads, params.get("aux", [])):
+            heads.append((rd, mt, hp["readout"], hp["match"]))
+        scores = []
+        for rd, mt, rp, mp_ in heads:
+            hg = rd.apply(rp, h, batch.ego.ngp, batch.ego.nsib,
+                          self.max_parents)
+            scores.append(mt.apply(mp_, hg, qf_per_ego).reshape(g, c))
+        return jnp.stack(scores)
 
     def forward(self, params, batch: GroupBatch, feature_table: jax.Array, *,
                 rng: jax.Array, train: bool) -> jax.Array:

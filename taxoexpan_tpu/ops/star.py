@@ -186,6 +186,35 @@ def readout(h: jax.Array, ngp: jax.Array, nsib: jax.Array, p: int,
     raise ValueError(f"unknown readout kind {kind!r}")
 
 
+def readout_attention(h: jax.Array, ngp: jax.Array, nsib: jax.Array, p: int,
+                      gate_params: dict) -> jax.Array:
+    """PATR: position-aware global-attention readout, h [B, N, D] -> [B, D].
+
+    Reconstruction of the reference's retired attention readout (the current
+    code keeps only the intent marker `TODO: try GlobalAttentionPooling`,
+    model/model_zoo.py:225, plus the PGAT_PATR_* arch names in the 2019
+    config_files). Gate logits condition on BOTH the node embedding and its
+    position class (grandparent / anchor / sibling):
+
+        z_i = w2 . tanh(h_i @ w1 + b1 + class_emb[class(i)])
+        out = sum_i softmax_over_valid(z)_i * h_i
+    """
+    b, n, _ = h.shape
+    w1, b1 = gate_params["w1"], gate_params["b1"]
+    cls_emb = gate_params["class_emb"]                        # [3, A]
+    w2 = gate_params["w2"]                                    # [A, 1]
+    s = n - p - 1
+    slot_class = jnp.concatenate([
+        jnp.zeros((p,), jnp.int32), jnp.ones((1,), jnp.int32),
+        jnp.full((s,), 2, jnp.int32)])
+    gate_in = jnp.tanh(h @ w1 + b1 + cls_emb[slot_class][None])
+    logits = (gate_in @ w2)[..., 0]                           # [B, N]
+    valid = node_mask(ngp, nsib, p, n).astype(bool)
+    logits = jnp.where(valid, logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=1)
+    return jnp.einsum("bn,bnd->bd", attn, h)
+
+
 def readout_from_pools(pools: jax.Array, ngp: jax.Array, nsib: jax.Array,
                        kind: str = "MR",
                        position_weights: jax.Array | None = None) -> jax.Array:

@@ -163,15 +163,29 @@ class Trainer:
 
     def _build_step(self):
         loss_fn, optimizer = self.loss_fn, self.optimizer
+        mtl = bool(getattr(self.model, "aux_heads", None))
+        if mtl and self.feature_mode != "replicated":
+            raise NotImplementedError(
+                "aux_heads (MTL) training is only wired for the replicated "
+                "feature table")
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, feature_table, rng):
             def compute_loss(p):
-                scores = self._model_forward(p, batch, feature_table, rng,
-                                             True)
                 labels = jnp.asarray(batch.labels)
                 mask = jnp.asarray(batch.cand_mask)
-                loss = loss_fn(scores, labels, mask)
+                if mtl:
+                    # multi-task heads: mean of the per-head losses over a
+                    # shared propagation trunk (models/taxoexpan.py:
+                    # forward_heads; MTL reconstruction — see BASELINE.md)
+                    all_scores = self.model.forward_heads(
+                        p, batch, feature_table, rng=rng, train=True)
+                    loss = jax.vmap(
+                        lambda s: loss_fn(s, labels, mask))(all_scores).mean()
+                else:
+                    scores = self._model_forward(p, batch, feature_table,
+                                                 rng, True)
+                    loss = loss_fn(scores, labels, mask)
                 n_valid = jnp.maximum(mask.any(axis=1).sum(), 1)
                 return loss, n_valid
 
