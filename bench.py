@@ -144,6 +144,40 @@ def time_path(path, model, params, batch, table, steps, warmup,
     return max(dt, 1e-9), last_loss
 
 
+def step_flops_bytes(groups, group_size, max_parents, expand_factor, in_dim,
+                     hidden_dim, out_dim, pos_dim, heads, el_bytes=2):
+    """Analytic matmul FLOPs + minimum HBM bytes for one PGAT train step.
+
+    FLOPs: the x@W / attention-projection dots per layer, x4 for fwd +
+    backward (the custom VJP recomputes ft, then dx and dW each cost one
+    more pass — ops/pallas_gat.py). Attention/aggregation VPU work and the
+    matcher are negligible at these dims. Bytes: the fused kernel's design
+    traffic — read x + write out per layer (+ dx on layer boundaries),
+    weights once; ft never round-trips HBM.
+    """
+    b = groups * group_size
+    n = max_parents + 1 + expand_factor
+    rows = b * n
+    # layer dims on the pos_mode="bias" path: [in->heads0*hidden, ->out]
+    l1_din, l1_hd = in_dim, heads[0] * hidden_dim
+    l2_din, l2_hd = heads[0] * hidden_dim, heads[1] * out_dim
+    flops = 0
+    bytes_hbm = 0
+    for din, hd in ((l1_din, l1_hd), (l2_din, l2_hd)):
+        proj = 2 * rows * din * (hd + 2 * heads[0])
+        flops += 4 * proj                        # fwd + remat + dx + dW
+        # fwd: read x, write out; bwd: read x + g, write dx (layer 2 only
+        # needs dx; layer-1 x is the non-trainable feature tensor)
+        bytes_hbm += el_bytes * rows * (2 * din + 3 * hd)
+        bytes_hbm += 4 * din * hd * 3            # weights + grads + update
+    return flops, bytes_hbm
+
+
+# bf16 peak TFLOP/s and HBM GB/s per chip by device kind
+PEAKS = {"TPU v5 lite": (197e12, 819e9), "TPU v5e": (197e12, 819e9),
+         "TPU v4": (275e12, 1228e9), "TPU v6 lite": (918e12, 1640e9)}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--groups", type=int, default=128)
@@ -206,6 +240,23 @@ def main():
     print(f"# star: {star_dt * 1e3:.2f} ms/step, {star_eps:.3e} edges/s, "
           f"loss={star_loss:.3f}", file=sys.stderr)
 
+    # absolute roofline position (not self-referential): achieved TFLOP/s and
+    # HBM GB/s of the analytic step workload vs the chip's peaks
+    mfu_pct = hbm_pct = None
+    if not args.fwd_only:
+        el = 2 if args.dtype == "bfloat16" else 4
+        flops, bytes_hbm = step_flops_bytes(
+            args.groups, args.group_size, args.max_parents,
+            args.expand_factor, args.in_dim, args.hidden_dim, args.out_dim,
+            args.pos_dim, [4, 1], el_bytes=el)
+        peak_fl, peak_bw = PEAKS.get(dev.device_kind, (197e12, 819e9))
+        mfu_pct = 100 * flops / star_dt / peak_fl
+        hbm_pct = 100 * bytes_hbm / star_dt / peak_bw
+        print(f"# roofline: {flops / star_dt / 1e12:.1f} TFLOP/s "
+              f"({mfu_pct:.1f}% MFU), design HBM {bytes_hbm / star_dt / 1e9:.0f} "
+              f"GB/s ({hbm_pct:.1f}% of peak) on {dev.device_kind}",
+              file=sys.stderr)
+
     vs_baseline = 1.0
     if not args.skip_baseline:
         seg_dt, seg_loss = time_path("segment", model, params, batch, table,
@@ -215,10 +266,14 @@ def main():
               f"{seg_eps:.3e} edges/s, loss={seg_loss:.3f}", file=sys.stderr)
         vs_baseline = star_eps / seg_eps
 
-    print(json.dumps({"metric": "edges_per_s_pgat_fwd_bwd",
-                      "value": round(star_eps, 1),
-                      "unit": "edges/s/chip",
-                      "vs_baseline": round(vs_baseline, 3)}))
+    record = {"metric": "edges_per_s_pgat_fwd_bwd",
+              "value": round(star_eps, 1),
+              "unit": "edges/s/chip",
+              "vs_baseline": round(vs_baseline, 3)}
+    if mfu_pct is not None:
+        record["mfu_pct"] = round(mfu_pct, 1)
+        record["hbm_pct"] = round(hbm_pct, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

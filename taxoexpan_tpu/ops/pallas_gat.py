@@ -156,6 +156,10 @@ def _common_prologue(x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb,
     x = x_ref[:].reshape(tb * n, din)
     if feat_mask is not None:   # fused input dropout (model_zoo.py:82)
         x = x * feat_mask.astype(x.dtype)
+    # ft stays f32 in VMEM: a bf16 ft was measured SLOWER on hardware at
+    # equal tile sizes (42.6 vs 41.6 ms/step — the per-head downcast/upcast
+    # VPU traffic outweighs the halved footprint; see docs/PERFORMANCE.md
+    # round-2 notes), so the tile-size budget keeps 4-byte activations.
     ft = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
     a1 = jnp.dot(x, wa1_ref[:], preferred_element_type=jnp.float32)
     a2 = jnp.dot(x, wa2_ref[:], preferred_element_type=jnp.float32)
@@ -585,9 +589,14 @@ def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
 def _vmem_cap_bytes() -> int:
     """Per-tile working-set budget. v5e has 128 MiB VMEM; the default leaves
     ample room for Mosaic's double-buffered block DMAs and per-head
-    temporaries. Override with TAXOEXPAN_VMEM_CAP_MB for experiments."""
+    temporaries. Override with TAXOEXPAN_VMEM_CAP_MB for experiments.
+
+    Default from the round-2 hardware sweep (scripts/vmem_cap_sweep.py on a
+    real v5e at the MAG-CS bench shape): 24 MB -> 41.6 ms/step vs 57.6 at
+    10 MB and 43.0 at 48 MB — bigger tiles cut grid overhead until they
+    start starving Mosaic's double-buffering."""
     import os
-    return int(float(os.environ.get("TAXOEXPAN_VMEM_CAP_MB", "10"))
+    return int(float(os.environ.get("TAXOEXPAN_VMEM_CAP_MB", "24"))
                * 1024 * 1024)
 
 
@@ -612,7 +621,9 @@ def _compiler_params(interpret):
 def _pick_tile(b: int, n: int, din: int, hd: int, factor: int = 1) -> int:
     """Largest power-of-two tile whose estimated working set fits the cap.
 
-    `factor=2` for the backward kernel (holds dft/dx/da alongside ft/g)."""
+    `factor=2` for the backward kernel (holds dft/dx/da alongside ft/g).
+    The 4-byte estimate is deliberate even for bf16 activations: the big
+    in-kernel intermediates (ft, dft) are f32 (see _common_prologue)."""
     cap = _vmem_cap_bytes()
     for tb in (32, 16, 8, 4, 2, 1):
         if b % tb:

@@ -52,3 +52,13 @@ def test_pick_tile_monotone_in_cap():
     # backward (factor=2) never exceeds the forward tile at equal cap
     bwd = _with_cap(64, lambda: _pick_tile(4096, 64, 300, 2000, factor=2))
     assert bwd <= big
+
+
+def test_default_cap_is_swept_best():
+    # hardware-swept default (scripts/vmem_cap_sweep.py, round 2): 24 MB
+    old = os.environ.pop("TAXOEXPAN_VMEM_CAP_MB", None)
+    try:
+        assert _vmem_cap_bytes() == 24 * 1024 * 1024
+    finally:
+        if old is not None:
+            os.environ["TAXOEXPAN_VMEM_CAP_MB"] = old
