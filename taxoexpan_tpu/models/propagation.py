@@ -196,17 +196,18 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
     given, the layer consumes h WITHOUT the position columns and applies the
     algebraic decomposition [h, pe] @ W = h @ W_h + pe @ W_p — the pe term is
     a per-SLOT constant [N, H*Dh] bias, so the position concat (a full
-    [B, N, Din+pos] HBM pass) disappears. On the fused Pallas path this is
-    exact in train mode too: with feat_drop > 0 the kernel draws its own
-    per-node keep-mask over the pe columns (pe_pack, ops/pallas_gat.py),
-    matching the reference's dropout of the full concatenated input
-    (model_zoo.py:82). Only the non-Pallas XLA path with feat_drop > 0
-    deviates (pe columns not dropped) — use pos_mode="concat" there.
+    [B, N, Din+pos] HBM pass) disappears. Exact in train mode on BOTH paths:
+    with feat_drop > 0 the fused Pallas kernel draws its own per-node
+    keep-mask over the pe columns (pe_pack, ops/pallas_gat.py), and the XLA
+    path applies the same per-node pe dropout explicitly (like
+    apply_gcn_layer) — independent masks over disjoint column blocks equal
+    one mask over the concat, matching the reference's dropout of the full
+    concatenated input (model_zoo.py:82).
 
     `input_grad=False` (fused Pallas path): the caller guarantees h is a
     non-trainable input (the fixed word2vec features, dataset.py:130-133) —
     the backward kernel skips the dx matmuls and the [B, N, Din] dx write."""
-    k_feat, k_attn = jax.random.split(rng)
+    k_feat, k_pe, k_attn = jax.random.split(rng, 3)
     fuse_pallas = use_pallas and not residual
     if feat_drop and not fuse_pallas:
         # XLA path; the pallas kernel fuses this dropout internally
@@ -277,9 +278,22 @@ def apply_gat_layer(params, h, ngp, nsib, p_slots: int, *, num_heads: int,
     a1 = (h @ wa1.astype(dtype)).astype(jnp.float32)   # [B, N, H]
     a2 = (h @ wa2.astype(dtype)).astype(jnp.float32)
     if pos_emb is not None:
-        ft = ft + bias_ft.reshape(1, n, num_heads, dh).astype(ft.dtype)
-        a1 = a1 + bias_a1[None]
-        a2 = a2 + bias_a2[None]
+        if train and feat_drop > 0:
+            # exact pe-column dropout (model_zoo.py:82): per-node keep-mask
+            # over the pe block, like apply_gcn_layer — the per-slot bias
+            # is only valid when nothing is dropped
+            peb = jnp.broadcast_to(pos_emb[None],
+                                   (b, n, pos_emb.shape[-1]))
+            peb = dropout(k_pe, peb, feat_drop, True).astype(dtype)
+            ft = ft + (peb @ w_p.astype(dtype)).reshape(b, n, num_heads, dh)
+            a1 = a1 + (peb @ wa1_full[din_h:].astype(dtype)
+                       ).astype(jnp.float32)
+            a2 = a2 + (peb @ wa2_full[din_h:].astype(dtype)
+                       ).astype(jnp.float32)
+        else:
+            ft = ft + bias_ft.reshape(1, n, num_heads, dh).astype(ft.dtype)
+            a1 = a1 + bias_a1[None]
+            a2 = a2 + bias_a2[None]
     ret = star.gat_attention_aggregate(
         ft, a1, a2, ngp, nsib, p_slots,
         leaky_alpha=LEAKY_ALPHA,
