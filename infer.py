@@ -36,9 +36,11 @@ def load_novel_taxons(path: str) -> tuple[list[str], np.ndarray]:
             vocab.append("_".join(segs[0].split(" ")))
             rows.append([float(x) for x in segs[1].split(" ")])
     return vocab, np.asarray(rows, dtype=np.float32)
+from taxoexpan_tpu.utils import enable_compile_cache
 
 
 def main(config, args_outer):
+    enable_compile_cache()
     logger = config.get_logger("infer")
     vocab, nf = load_novel_taxons(args_outer.taxon)
     if config["train_data_loader"]["args"].get("normalize_embed", False):

@@ -21,10 +21,14 @@ if __name__ == "__main__":
     p.add_argument("--nodes", type=int, default=2000)
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--max_children", type=int, default=10)
+    p.add_argument("--noise", type=float, default=0.35,
+                   help="per-edge feature drift; higher = less"
+                        " trivially-informative embeddings")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     taxo = synthetic_taxonomy(num_nodes=args.nodes, dim=args.dim,
-                              max_children=args.max_children, seed=args.seed)
+                              max_children=args.max_children, noise=args.noise,
+                              seed=args.seed)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     taxo.save(args.out)
     print(f"wrote {args.out}: {taxo.num_nodes} nodes, {taxo.num_edges} edges, "

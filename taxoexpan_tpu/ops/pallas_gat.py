@@ -600,6 +600,16 @@ def _vmem_cap_bytes() -> int:
                * 1024 * 1024)
 
 
+def _vmem_cap_bwd_bytes() -> int:
+    """Backward-kernel tile budget. Separate knob because the backward's
+    factor-2 working-set estimate halves its tiles relative to the forward
+    under a shared cap, and the fwd/bwd optima need not coincide
+    (TAXOEXPAN_VMEM_CAP_BWD_MB; defaults to the forward cap)."""
+    import os
+    v = os.environ.get("TAXOEXPAN_VMEM_CAP_BWD_MB")
+    return int(float(v) * 1024 * 1024) if v else _vmem_cap_bytes()
+
+
 def _compiler_params(interpret):
     """Raise Mosaic's scoped-vmem limit (default 16 MB) so the tile sizes
     chosen by `_pick_tile` under TAXOEXPAN_VMEM_CAP_MB actually fit: the
@@ -613,7 +623,8 @@ def _compiler_params(interpret):
     physical would let Mosaic schedule allocations that cannot exist."""
     if interpret:
         return None
-    limit = min(max(2 * _vmem_cap_bytes(), 100 * 1024 * 1024),
+    cap = max(_vmem_cap_bytes(), _vmem_cap_bwd_bytes())
+    limit = min(max(2 * cap, 100 * 1024 * 1024),
                 128 * 1024 * 1024)
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
@@ -621,10 +632,11 @@ def _compiler_params(interpret):
 def _pick_tile(b: int, n: int, din: int, hd: int, factor: int = 1) -> int:
     """Largest power-of-two tile whose estimated working set fits the cap.
 
-    `factor=2` for the backward kernel (holds dft/dx/da alongside ft/g).
-    The 4-byte estimate is deliberate even for bf16 activations: the big
-    in-kernel intermediates (ft, dft) are f32 (see _common_prologue)."""
-    cap = _vmem_cap_bytes()
+    `factor=2` for the backward kernel (holds dft/dx/da alongside ft/g),
+    which also switches to the backward cap. The 4-byte estimate is
+    deliberate even for bf16 activations: the big in-kernel intermediates
+    (ft, dft) are f32 (see _common_prologue)."""
+    cap = _vmem_cap_bytes() if factor == 1 else _vmem_cap_bwd_bytes()
     for tb in (32, 16, 8, 4, 2, 1):
         if b % tb:
             continue

@@ -80,3 +80,18 @@ def get_logger(name: str, verbosity: int = 2) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(levels.get(verbosity, logging.DEBUG))
     return logger
+
+
+def enable_compile_cache(path: str = "/root/.jax_cache") -> None:
+    """Turn on JAX's persistent compilation cache (idempotent, best-effort).
+
+    Cold Pallas compiles through the TPU remote-compile relay take minutes;
+    with the cache, repeat CLI invocations (train.py / test_fast.py /
+    infer.py / bench.py) of the same shapes start in seconds."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

@@ -13,9 +13,11 @@ from taxoexpan_tpu import builders
 from taxoexpan_tpu.config import ConfigParser
 from taxoexpan_tpu.evaluation import TaxonomyRanker
 from taxoexpan_tpu.train import checkpoint as ckpt_mod
+from taxoexpan_tpu.utils import enable_compile_cache
 
 
 def main(config, args_outer):
+    enable_compile_cache()
     logger = config.get_logger("test")
     need_case_study = args_outer.case != ""
     if need_case_study:

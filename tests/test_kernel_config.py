@@ -62,3 +62,25 @@ def test_default_cap_is_swept_best():
     finally:
         if old is not None:
             os.environ["TAXOEXPAN_VMEM_CAP_MB"] = old
+
+
+def test_bwd_cap_env_decouples_backward_tiles():
+    from taxoexpan_tpu.ops.pallas_gat import _vmem_cap_bwd_bytes
+    old = os.environ.pop("TAXOEXPAN_VMEM_CAP_BWD_MB", None)
+    try:
+        # defaults to the forward cap
+        assert _vmem_cap_bwd_bytes() == _vmem_cap_bytes()
+        os.environ["TAXOEXPAN_VMEM_CAP_BWD_MB"] = "48"
+        assert _vmem_cap_bwd_bytes() == 48 * 1024 * 1024
+        # factor=2 picks from the backward cap: TB matches the fwd pick at
+        # half the budget
+        fwd = _with_cap(24, lambda: _pick_tile(4096, 64, 300, 2000))
+        bwd = _with_cap(24, lambda: _pick_tile(4096, 64, 300, 2000, factor=2))
+        assert bwd == fwd  # 48 MB bwd budget == 24 MB fwd budget at factor 2
+        # compiler limit respects the larger cap
+        cp = _with_cap(24, lambda: _compiler_params(False))
+        assert cp.vmem_limit_bytes == 100 * 1024 * 1024
+    finally:
+        del os.environ["TAXOEXPAN_VMEM_CAP_BWD_MB"]
+        if old is not None:
+            os.environ["TAXOEXPAN_VMEM_CAP_BWD_MB"] = old

@@ -16,9 +16,11 @@ from taxoexpan_tpu import builders
 from taxoexpan_tpu.config import ConfigParser, CustomArg
 from taxoexpan_tpu.parallel import make_mesh
 from taxoexpan_tpu.train import Trainer
+from taxoexpan_tpu.utils import enable_compile_cache
 
 
 def main(config):
+    enable_compile_cache()
     logger = config.get_logger(
         "train", config["trainer"].get("verbosity", 2))
 
