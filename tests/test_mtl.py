@@ -159,3 +159,11 @@ def test_cli_semeval_mtl_config(tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     run_dirs = list((tmp_path / "saved" / "models" / cfg["name"]).iterdir())
     assert run_dirs and (run_dirs[0] / "model_best.ckpt").exists()
+    # checkpoint restore must round-trip the aux-head params and evaluation
+    # must rank with the primary head
+    r2 = subprocess.run(
+        [sys.executable, "test_fast.py", "-r",
+         str(run_dirs[0] / "model_best.ckpt"), "-d", "cpu"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "macro_mr" in (r2.stdout + r2.stderr)
