@@ -164,8 +164,9 @@ def step_flops_bytes(groups, group_size, max_parents, expand_factor, in_dim,
     l2_din, l2_hd = heads[0] * hidden_dim, heads[1] * out_dim
     flops = 0
     bytes_hbm = 0
-    for passes, (din, hd) in ((3, (l1_din, l1_hd)), (4, (l2_din, l2_hd))):
-        proj = 2 * rows * din * (hd + 2 * heads[0])
+    for passes, nh, (din, hd) in ((3, heads[0], (l1_din, l1_hd)),
+                                  (4, heads[1], (l2_din, l2_hd))):
+        proj = 2 * rows * din * (hd + 2 * nh)
         flops += passes * proj                   # fwd + remat (+ dx) + dW
         # fwd: read x, write out; bwd: read x + g, write dx (layer 2 only
         # needs dx; layer-1 x is the non-trainable feature tensor)
@@ -222,12 +223,8 @@ def main():
         jax.config.update("jax_default_prng_impl", "rbg")
     # persistent compile cache: cold Pallas compiles via the remote-compile
     # relay can take many minutes; warm runs start in seconds
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from taxoexpan_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     dev = jax.devices()[0]
     print(f"# device: {dev.device_kind}", file=sys.stderr)
 

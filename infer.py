@@ -21,6 +21,7 @@ from taxoexpan_tpu import builders
 from taxoexpan_tpu.config import ConfigParser
 from taxoexpan_tpu.evaluation import TaxonomyRanker
 from taxoexpan_tpu.train import checkpoint as ckpt_mod
+from taxoexpan_tpu.utils import enable_compile_cache
 
 
 def load_novel_taxons(path: str) -> tuple[list[str], np.ndarray]:
@@ -36,7 +37,6 @@ def load_novel_taxons(path: str) -> tuple[list[str], np.ndarray]:
             vocab.append("_".join(segs[0].split(" ")))
             rows.append([float(x) for x in segs[1].split(" ")])
     return vocab, np.asarray(rows, dtype=np.float32)
-from taxoexpan_tpu.utils import enable_compile_cache
 
 
 def main(config, args_outer):

@@ -201,17 +201,22 @@ class MaskedGraphSampler:
 
     def eval_negatives(self, query: int) -> list[int]:
         """All unmasked candidate positions, optionally retrieval-prefiltered
-        to test_topk by embedding cosine distance (dataset.py:319-325)."""
+        to test_topk by embedding cosine distance (dataset.py:319-325).
+
+        The L2-normalized feature table is computed once and cached — the
+        evaluation engine calls this per query (O(C*D) per call would
+        otherwise be dominated by redundant re-normalization at MAG scale)."""
         masks = self.node2masks[query]
         pool = [p for p in self.candidate_positions if p not in masks]
         if self.test_topk == -1:
             return pool
-        feats = self.node_features
-        q = feats[query]
-        qn = q / max(np.linalg.norm(q), 1e-12)
-        cand = feats[np.asarray(pool)]
-        cand = cand / np.maximum(np.linalg.norm(cand, axis=1, keepdims=True), 1e-12)
-        dist = 1.0 - cand @ qn
+        unit = getattr(self, "_unit_features", None)
+        if unit is None:
+            f = np.asarray(self.node_features, dtype=np.float32)
+            unit = f / np.maximum(
+                np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
+            self._unit_features = unit
+        dist = 1.0 - unit[np.asarray(pool)] @ unit[query]
         top = np.argsort(dist, kind="stable")[: self.test_topk]
         return [pool[i] for i in top]
 

@@ -390,9 +390,10 @@ class GAT:
             raise ValueError(f"pos_mode must be bias|concat, got {pos_mode!r}")
         # "bias": [h, pe] @ W == h @ W_h + pe @ W_p with the pe term folded
         # into a per-slot constant (see apply_gat_layer) — saves a full
-        # [B, N, Din+pos] HBM pass per layer; exact in eval mode, and in
-        # train mode feat_drop no longer hits the pe columns (deviation from
-        # model_zoo.py:82; use "concat" for strict reference semantics).
+        # [B, N, Din+pos] HBM pass per layer. Exact on every path including
+        # train mode: with feat_drop > 0 the pe columns get their own
+        # per-node keep-mask (pe_pack on the Pallas path, explicit pe
+        # dropout on the XLA path), matching model_zoo.py:82.
         self.pos_mode = pos_mode
         if len(heads) != num_layers + 1:
             raise ValueError(

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 
 from ..ops import star
-from .init import embedding_params, linear_params, uniform
+from .init import embedding_params, linear_params
 
 READOUT_KINDS = ("MR", "WMR", "CR", "SUM", "MAX", "PATR")
 
@@ -35,8 +35,7 @@ class Readout:
             # nn.Embedding(3, 1) position weights (model_zoo.py:237)
             return embedding_params(key, 3, 1)
         if self.kind == "PATR":
-            import jax as _jax
-            k1, k2, k3 = _jax.random.split(key, 3)
+            k1, k2, k3 = jax.random.split(key, 3)
             gate = linear_params(k1, self.out_dim, self.attention_dim)
             return {"w1": gate["w"], "b1": gate["b"],
                     "class_emb": embedding_params(

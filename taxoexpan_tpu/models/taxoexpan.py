@@ -102,8 +102,8 @@ class TaxoExpan:
         # config_files/config.20190815_*_MTL.json — implementation gone
         # upstream; reconstruction documented in BASELINE.md): each entry
         # {"readout": ..., "matcher": ...} adds an extra (readout, matcher)
-        # pair sharing the propagation trunk. Training sums the loss over
-        # all heads (train/trainer.py); evaluation uses the primary head.
+        # pair sharing the propagation trunk. Training averages the per-head
+        # losses (train/trainer.py); evaluation uses the primary head.
         self.aux_heads = []
         for spec in (aux_heads or []):
             rd = Readout(spec.get("readout", "WMR"), out_dim,
@@ -208,7 +208,7 @@ class TaxoExpan:
                       train: bool) -> jax.Array:
         """All scoring heads over a shared propagation trunk: [1+H, G, C]
         (row 0 = the primary readout/matcher). The MTL training path
-        (aux_heads) — the trainer sums the loss over rows."""
+        (aux_heads) — the trainer averages the per-row losses."""
         feats = self.gather_feats(feature_table, batch.ego)
         qf = batch.query_feats if batch.query_feats is not None \
             else feature_table[batch.query_ids]

@@ -61,6 +61,21 @@ def main(config):
         logger.warning("parallel.mp=%d does not divide %d devices; "
                        "disabling tensor parallelism", mp, n_dev)
         mp = 1
+    if mp > 1:
+        # layers whose head count mp does not divide replicate across the
+        # mp axis (propagation._fused_call_spmd use_tp=False). That is fine
+        # for the conventional single-head OUTPUT layer riding a TP'd
+        # 4-head hidden layer, but if NO layer's head count divides mp,
+        # every replica does identical work while dp shrank — strictly
+        # worse than dp-only. Refuse that silent degradation.
+        heads = config["arch"]["args"].get("heads") or []
+        if heads and all(h % mp for h in heads):
+            logger.warning(
+                "parallel.mp=%d divides none of the head counts %s; all "
+                "layers would replicate over mp (wasting ~%dx throughput) "
+                "— disabling tensor parallelism, using dp only",
+                mp, heads, mp)
+            mp = 1
     dp = int(par_cfg.get("dp", 0)) or n_dev // mp
     if dp * mp > 1:
         shape = {"dp": dp} if mp == 1 else {"dp": dp, "mp": mp}
