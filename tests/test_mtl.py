@@ -167,3 +167,26 @@ def test_cli_semeval_mtl_config(tmp_path):
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "macro_mr" in (r2.stdout + r2.stderr)
+
+
+def test_forward_heads_pallas_matches_xla(tiny_taxonomy):
+    """PATR/MTL on the fused-Pallas propagation path (per-slot kernel output
+    + XLA readouts — pool fusion only serves single-head MR/WMR/CR/SUM):
+    scores must match the XLA path."""
+    from taxoexpan_tpu.data import GroupBatchLoader, MaskedGraphSampler
+    sampler = MaskedGraphSampler(tiny_taxonomy, mode="train", sampling_mode=1,
+                                 negative_size=7, expand_factor=6)
+    loader = GroupBatchLoader(sampler, batch_size=8, prefetch=0)
+    batch = next(iter(loader))
+    table = jnp.asarray(sampler.node_features)
+    scores = {}
+    for kernel in ("xla", "pallas"):
+        arch = {"args": dict(ARCH_MTL["args"], kernel=kernel)}
+        model = builders.build_model(arch, max_parents=sampler.max_parents,
+                                     expand_factor=sampler.expand_factor)
+        params = scores.get("params") or model.init(jax.random.PRNGKey(0))
+        scores["params"] = params
+        scores[kernel] = np.asarray(model.forward_heads(
+            params, batch, table, rng=jax.random.PRNGKey(1), train=False))
+    np.testing.assert_allclose(scores["pallas"], scores["xla"],
+                               rtol=2e-4, atol=2e-4)
