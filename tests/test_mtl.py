@@ -190,3 +190,19 @@ def test_forward_heads_pallas_matches_xla(tiny_taxonomy):
             params, batch, table, rng=jax.random.PRNGKey(1), train=False))
     np.testing.assert_allclose(scores["pallas"], scores["xla"],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mtl_checkpoint_roundtrip(tiny_taxonomy, tmp_path):
+    """aux-head params (list-of-dicts subtree) must survive the checkpoint
+    save -> restore_params round trip bit-exactly."""
+    from taxoexpan_tpu.train import checkpoint as ckpt_mod
+    _, _, model, params = _mtl_setup(tiny_taxonomy)
+    path = tmp_path / "mtl.ckpt"
+    ckpt_mod.save_checkpoint(path, params=params, opt_state={}, epoch=3,
+                             monitor_best=1.0, config={"arch": ARCH_MTL})
+    state = ckpt_mod.load_checkpoint(path)
+    template = model.init(jax.random.PRNGKey(123))   # different init values
+    restored = ckpt_mod.restore_params(state, template)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
