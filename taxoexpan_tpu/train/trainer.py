@@ -23,6 +23,8 @@ model_best (base_trainer.py:106-107).
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 import time
 from functools import partial
 from pathlib import Path
@@ -38,6 +40,54 @@ from ..losses import get_loss
 from ..utils.writer import TensorboardWriter
 from . import checkpoint as ckpt_mod
 from .optim import PlateauScheduler, get_lr
+
+
+class _DeviceFeed:
+    """Stage batches on device from a background thread (double-buffered H2D).
+
+    The torch reference hides H2D latency behind pin_memory + DataLoader
+    workers and async CUDA streams (data_loaders.py:98, trainer/trainer.py:45);
+    here one thread calls `device_put` ahead of the consumer so the train
+    loop's only per-step device interaction is the single async step dispatch.
+    The host-side batch statistics (egonet/edge counts) are computed on the
+    same thread, off the critical path. Yields
+    (host_batch, device_batch, n_egonets, n_edges).
+    """
+
+    def __init__(self, loader, put_fn, depth: int = 2):
+        self.loader = loader
+        self.put_fn = put_fn
+        self.depth = depth
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        err: list[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    n_egonets = int(np.asarray(batch.cand_mask).sum())
+                    ngp = np.asarray(batch.ego.ngp)
+                    nsib = np.asarray(batch.ego.nsib)
+                    n_edges = int(ngp.sum() + nsib.sum()
+                                  + (ngp + 1 + nsib).sum())
+                    q.put((batch, self.put_fn(batch), n_egonets, n_edges))
+            except BaseException as e:  # surface in the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
 
 
 class Trainer:
@@ -136,6 +186,9 @@ class Trainer:
             self.replicated = None
             self.batch_sharding = None
             self.feature_table = jnp.asarray(feature_table)
+        # staging target for the single-device path: committing batches to an
+        # explicit device in the feed thread keeps H2D off the dispatch path
+        self._device = jax.devices()[0]
 
     # ----------------------------------------------------------- jitted steps
     def _model_forward(self, params, batch, feature_table, rng, train):
@@ -169,8 +222,15 @@ class Trainer:
                 "aux_heads (MTL) training is only wired for the replicated "
                 "feature table")
 
+        base_rng = self.base_rng
+
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, feature_table, rng):
+        def train_step(params, opt_state, batch, feature_table, step_idx):
+            # deriving the per-step key INSIDE the jit keeps the whole step a
+            # single async dispatch — a separate fold_in would cost one extra
+            # host->device round trip per step (expensive through the relay)
+            rng = jax.random.fold_in(base_rng, step_idx)
+
             def compute_loss(p):
                 labels = jnp.asarray(batch.labels)
                 mask = jnp.asarray(batch.cand_mask)
@@ -206,52 +266,79 @@ class Trainer:
         return eval_scores
 
     def _put_batch(self, batch):
-        if self.batch_sharding is None:
-            return batch
+        target = self.batch_sharding or self._device
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(np.asarray(x), self.batch_sharding),
-            batch)
+            lambda x: jax.device_put(np.asarray(x), target), batch)
 
     # ----------------------------------------------------------------- epochs
     def _train_epoch(self, epoch: int) -> dict:
+        """One epoch of fully-async steps.
+
+        Per-step host<->device traffic is eliminated (VERDICT r2 #1): the
+        batch is staged on device by the feed thread, the step is one async
+        dispatch (rng derived in-jit from a step index), and losses stay on
+        device until ONE stacked readback at epoch end. The torch reference
+        pays a sync per step via loss.item() (trainer/trainer.py:60) but
+        hides it behind CUDA streams; through the axon relay every sync is a
+        network round trip, so we remove them instead.
+        """
         if self._step_fn is None:
             self._step_fn = self._build_step()
-        total_loss = 0.0
         n_batches = 0
         n_egonets = 0
         n_edges = 0
+        losses = []
+        t_wait = 0.0
+        t_dispatch = 0.0
         t_epoch = time.time()
-        for batch_idx, batch in enumerate(self.train_loader):
-            rng = jax.random.fold_in(self.base_rng,
-                                     epoch * 1_000_003 + batch_idx)
+        t0 = time.time()
+        for batch_idx, (_host, dev_batch, b_egonets, b_edges) in enumerate(
+                _DeviceFeed(self.train_loader, self._put_batch)):
+            t1 = time.time()
             if self.profile_dir and epoch == 1 and \
                     batch_idx == self._profile_window[0]:
                 jax.profiler.start_trace(self.profile_dir)
                 self._profiling = True
-            n_egonets += int(np.asarray(batch.cand_mask).sum())
-            ngp = np.asarray(batch.ego.ngp)
-            nsib = np.asarray(batch.ego.nsib)
-            n_edges += int(ngp.sum() + nsib.sum() + (ngp + 1 + nsib).sum())
-            batch = self._put_batch(batch)
+            step_idx = np.uint32(epoch * 1_000_003 + batch_idx)
             self.params, self.opt_state, loss = self._step_fn(
-                self.params, self.opt_state, batch, self.feature_table, rng)
-            loss_val = float(loss)
+                self.params, self.opt_state, dev_batch, self.feature_table,
+                step_idx)
             if self._profiling and batch_idx == self._profile_window[1]:
+                jax.block_until_ready(loss)  # close the window on real work
                 jax.profiler.stop_trace()
                 self._profiling = False
-            total_loss += loss_val
+            losses.append(loss)
+            n_egonets += b_egonets
+            n_edges += b_edges
             n_batches += 1
-            self.writer.set_step((epoch - 1) * len(self.train_loader)
-                                 + batch_idx)
-            self.writer.add_scalar("loss", loss_val)
+            t2 = time.time()
+            t_wait += t1 - t0
+            t_dispatch += t2 - t1
+            t0 = t2
+        # single synchronizing readback for the whole epoch
+        t_s = time.time()
+        if losses:
+            loss_vals = np.asarray(jax.device_get(jnp.stack(losses)),
+                                   dtype=np.float64)
+        else:
+            loss_vals = np.zeros(0)
+        t_sync = time.time() - t_s
         dt = max(time.time() - t_epoch, 1e-9)
-        log = {"loss": total_loss / max(n_batches, 1),
+        for i, lv in enumerate(loss_vals):
+            self.writer.set_step((epoch - 1) * len(self.train_loader) + i)
+            self.writer.add_scalar("loss", float(lv))
+        log = {"loss": float(loss_vals.sum()) / max(n_batches, 1),
                "egonets_per_sec": round(n_egonets / dt, 1),
-               "edges_per_sec": round(n_edges / dt, 1)}
+               "edges_per_sec": round(n_edges / dt, 1),
+               "timing": {"wait_s": round(t_wait, 2),
+                          "dispatch_s": round(t_dispatch, 2),
+                          "sync_s": round(t_sync, 2)}}
         self.writer.add_scalar("edges_per_sec", n_edges / dt)
 
         if self.valid_loader is not None:
+            t_v = time.time()
             log.update(self._valid_epoch(epoch))
+            log["timing"]["valid_s"] = round(time.time() - t_v, 2)
 
         if self.lr_scheduler is not None and "val_metrics" in log:
             # plateau on MR (min) / Hit@1 (max) — trainer.py:84-92
@@ -265,20 +352,25 @@ class Trainer:
         if self._eval_fn is None:
             self._eval_fn = self._build_eval()
         totals = np.zeros(len(self.metric_fns))
-        n_batches = 0
-        for batch_idx, batch in enumerate(self.valid_loader):
-            dev_batch = self._put_batch(batch)
-            scores = np.asarray(self._eval_fn(self.params, dev_batch,
-                                              self.feature_table))
+        # dispatch all eval batches async, read scores back in one transfer
+        host = []
+        dev_scores = []
+        for batch, dev_batch, _ne, _ee in _DeviceFeed(self.valid_loader,
+                                                      self._put_batch):
+            dev_scores.append(self._eval_fn(self.params, dev_batch,
+                                            self.feature_table))
+            host.append((batch.labels, batch.cand_mask))
+        n_batches = len(host)
+        for batch_idx, (scores, (labels, cand_mask)) in enumerate(
+                zip(jax.device_get(dev_scores), host)):
             all_ranks = metrics_mod.ranks_from_groups(
-                scores, batch.labels, batch.cand_mask, mode=self.rank_mode)
+                np.asarray(scores), labels, cand_mask, mode=self.rank_mode)
             self.writer.set_step((epoch - 1) * len(self.valid_loader)
                                  + batch_idx, "valid")
             for i, fn in enumerate(self.metric_fns):
                 val = fn(all_ranks)
                 totals[i] += val
                 self.writer.add_scalar(self.metric_names[i], val)
-            n_batches += 1
         # parameter histograms per validation epoch (trainer.py:119-120)
         if self.writer.writer is not None:
             for path, leaf in jax.tree_util.tree_flatten_with_path(
@@ -331,7 +423,10 @@ class Trainer:
                             "epochs. Training stops.", self.early_stop)
                         break
             if epoch % self.save_period == 0:
+                t_c = time.time()
                 self._save_checkpoint(epoch, save_best=best)
+                self.logger.info("    %-15s: %s", "checkpoint_s",
+                                 round(time.time() - t_c, 2))
         return final_log
 
     # ------------------------------------------------------------ checkpoints
