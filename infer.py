@@ -68,8 +68,17 @@ def main(config, args_outer):
     anchors = sorted(train_ids | set(taxonomy.test_node_ids))
     rank_mode = 1 if config["loss"].startswith("info_nce") else 0
     encode_chunk = args_outer.batch_size if args_outer.batch_size > 0 else 4096
+    mesh = None
+    if args_outer.mesh:
+        # shard anchor encoding over all visible devices — the reference
+        # DataParallels the model at inference too (infer.py:68-69)
+        from taxoexpan_tpu.parallel import data_parallel_mesh
+        mesh = data_parallel_mesh()
+        logger.info("Sharding anchor encoding over %d devices",
+                    mesh.devices.size)
     ranker = TaxonomyRanker(model, params, sampler, sampler.node_features,
-                            encode_chunk=encode_chunk, anchors=anchors)
+                            encode_chunk=encode_chunk, anchors=anchors,
+                            mesh=mesh)
     predictions = ranker.predict_parents(nf, rank_mode, topk=5)
 
     with open(args_outer.save, "w") as fout:
@@ -91,6 +100,9 @@ if __name__ == "__main__":
     args.add_argument("-d", "--device", default=None, type=str)
     args.add_argument("-k", "--topk", default=-1, type=int)
     args.add_argument("-b", "--batch_size", default=-1, type=int)
+    args.add_argument("-m", "--mesh", action="store_true",
+                      help="shard anchor encoding over all devices "
+                           "(data-parallel evaluation mesh)")
     args.add_argument("--sum_norm", action="store_true",
                       help="normalize novel embeddings by row sum "
                            "(reference bug-compatible mode)")

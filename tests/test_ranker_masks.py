@@ -124,3 +124,50 @@ def test_predict_parents_prefilter():
         dist = 1.0 - feats @ nf[qi]
         nearest = set(cand[np.argsort(dist, kind="stable")[:5]].tolist())
         assert set(row) <= nearest
+
+
+def test_topk_mask_tie_parity_with_stable_argsort():
+    """_topk_mask must fill boundary ties lowest-index-first, exactly like a
+    stable argsort over the finite pool (eval_negatives semantics)."""
+    import jax.numpy as jnp
+    from taxoexpan_tpu.evaluation.ranker import _topk_mask
+    rng = np.random.default_rng(0)
+    # quantized distances force many exact ties, + some masked (+inf) slots
+    dist = rng.integers(0, 4, size=(16, 40)).astype(np.float32)
+    dist[rng.random((16, 40)) < 0.2] = np.inf
+    dist[3] = np.inf                      # a row with an empty pool
+    dist[4, :2] = np.inf                  # a row with pool smaller than k
+    dist[4, 2:] = np.where(np.arange(38) < 3, 1.0, np.inf)
+    for k in (1, 5, 39):
+        got = np.asarray(_topk_mask(jnp.asarray(dist), k))
+        for r in range(16):
+            finite = np.isfinite(dist[r])
+            order = np.argsort(np.where(finite, dist[r], np.inf),
+                               kind="stable")[: min(k, finite.sum())]
+            want = np.zeros(40, bool)
+            want[order] = True
+            want &= finite
+            np.testing.assert_array_equal(got[r], want,
+                                          err_msg=f"k={k} row={r}")
+
+
+def test_device_eval_matches_host_oracle_per_query_masks():
+    """End-to-end: evaluate()'s device ranks equal ranks_from_scores with the
+    per-query host _negative_mask oracle."""
+    sampler, ranker = _build_ranker(test_topk=12)
+    res, _ = ranker.evaluate(["macro_mr", "hit_at_1"], rank_mode=1)
+    scores = ranker.score(
+        sampler.node_features[np.asarray(sampler.node_list)])
+    cand_index = {c: i for i, c in enumerate(ranker.candidates)}
+    totals = np.zeros(2)
+    for qi, q in enumerate(sampler.node_list):
+        pos_idx = [cand_index[p] for p in sampler.node2parents[q]
+                   if p in cand_index]
+        neg = ranker._negative_mask(q, cand_index)
+        ranks = [metrics.ranks_from_scores(scores[qi], pos_idx, mode=1,
+                                           neg_mask=neg)]
+        totals[0] += metrics.get_metric("macro_mr")(ranks)
+        totals[1] += metrics.get_metric("hit_at_1")(ranks)
+    n = len(sampler.node_list)
+    np.testing.assert_allclose(res["macro_mr"], totals[0] / n, rtol=1e-6)
+    np.testing.assert_allclose(res["hit_at_1"], totals[1] / n, rtol=1e-6)

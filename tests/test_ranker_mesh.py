@@ -42,3 +42,24 @@ def test_sharded_eval_matches_single():
                                res_single["macro_mr"], rtol=1e-5)
     np.testing.assert_allclose(res_sharded["mrr_scaled_10"],
                                res_single["mrr_scaled_10"], rtol=1e-5)
+
+
+def test_sharded_predict_parents_matches_single():
+    """infer.py --mesh path: sharded anchor encoding must give the same
+    top-k parent predictions as the single-device ranker."""
+    taxo = synthetic_taxonomy(num_nodes=300, dim=16, seed=9)
+    sampler = builders.build_sampler(taxo, CFG, "test", test_topk=20)
+    model = builders.build_model(ARCH, max_parents=sampler.max_parents,
+                                 expand_factor=sampler.expand_factor)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    nf = rng.normal(size=(7, 16)).astype(np.float32)
+    nf /= np.linalg.norm(nf, axis=1, keepdims=True)
+
+    single = TaxonomyRanker(model, params, sampler, sampler.node_features,
+                            encode_chunk=64, query_chunk=16)
+    mesh = data_parallel_mesh()
+    sharded = TaxonomyRanker(model, params, sampler, sampler.node_features,
+                             encode_chunk=64, query_chunk=16, mesh=mesh)
+    assert single.predict_parents(nf, 1, topk=5) == \
+        sharded.predict_parents(nf, 1, topk=5)
