@@ -145,16 +145,19 @@ def time_path(path, model, params, batch, table, steps, warmup,
 
 
 def step_flops_bytes(groups, group_size, max_parents, expand_factor, in_dim,
-                     hidden_dim, out_dim, pos_dim, heads, el_bytes=2):
+                     hidden_dim, out_dim, heads, el_bytes=2):
     """Analytic matmul FLOPs + minimum HBM bytes for one PGAT train step.
 
     FLOPs: the x@W / attention-projection dots per layer — fwd + backward
     passes (the custom VJP recomputes ft, then dW costs one more pass, and
     dx one more on layer 2; layer 1 skips dx because its input is the
     non-trainable feature tensor, input_grad=False). Attention/aggregation
-    VPU work and the matcher are negligible at these dims. Bytes: the fused
-    kernel's design traffic — read x + write out per layer (+ dx on layer
-    boundaries), weights once; ft never round-trips HBM.
+    VPU work and the matcher are negligible at these dims. So are the
+    position-embedding projections: on the "bias" decomposition path
+    (propagation.py: pe @ W_p) they are per-SLOT [n, pos_dim] matmuls
+    (n ~ 64 slots, not B*n rows), ~1e-4 of the main projection — excluded.
+    Bytes: the fused kernel's design traffic — read x + write out per layer
+    (+ dx on layer boundaries), weights once; ft never round-trips HBM.
     """
     b = groups * group_size
     n = max_parents + 1 + expand_factor
@@ -199,10 +202,6 @@ def main():
     p.add_argument("--kernel", default="auto",
                    choices=["auto", "pallas", "xla"],
                    help="GAT layer implementation (auto = pallas on TPU)")
-    p.add_argument("--fast-rng", action="store_true",
-                   help="use the rbg PRNG (faster mask generation on some "
-                        "setups; experimental — hung with the pallas kernel "
-                        "on the axon relay)")
     p.add_argument("--cpu", action="store_true",
                    help="force CPU (debug); default = real TPU chip")
     p.add_argument("--mesh-dp1", action="store_true",
@@ -219,8 +218,6 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    if args.fast_rng:
-        jax.config.update("jax_default_prng_impl", "rbg")
     # persistent compile cache: cold Pallas compiles via the remote-compile
     # relay can take many minutes; warm runs start in seconds
     from taxoexpan_tpu.utils import enable_compile_cache
@@ -255,7 +252,12 @@ def main():
         flops, bytes_hbm = step_flops_bytes(
             args.groups, args.group_size, args.max_parents,
             args.expand_factor, args.in_dim, args.hidden_dim, args.out_dim,
-            args.pos_dim, [4, 1], el_bytes=el)
+            [4, 1], el_bytes=el)
+        if dev.device_kind not in PEAKS:
+            print(f"# WARNING: unknown device kind {dev.device_kind!r}; "
+                  "roofline uses TPU v5e peaks (197 TFLOP/s bf16, 819 GB/s) "
+                  "— MFU/HBM% numbers may be wrong on this chip",
+                  file=sys.stderr)
         peak_fl, peak_bw = PEAKS.get(dev.device_kind, (197e12, 819e9))
         mfu_pct = 100 * flops / star_dt / peak_fl
         hbm_pct = 100 * bytes_hbm / star_dt / peak_bw

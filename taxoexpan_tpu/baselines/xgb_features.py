@@ -279,9 +279,14 @@ if __name__ == "__main__":
     print(f"supervision matrix: {x.shape}, positives: {int(y.sum())}")
     params = None
     if args.tune:
-        split = int(0.8 * len(x))
-        params, metric = tune_booster(x[:split], y[:split], x[split:],
-                                      y[split:], verbose=True)
+        # supervision rows are ordered by node traversal — shuffle with a
+        # fixed seed before the 80/20 split so the validation set is not a
+        # systematically non-random node subset (ADVICE r2)
+        perm = np.random.default_rng(0).permutation(len(x))
+        x_s, y_s = x[perm], y[perm]
+        split = int(0.8 * len(x_s))
+        params, metric = tune_booster(x_s[:split], y_s[:split], x_s[split:],
+                                      y_s[split:], verbose=True)
         print(f"tuned params (val metric {metric}): {params}")
     if args.train:
         booster = train_booster(x, y, params=params)

@@ -73,6 +73,13 @@ class MaskedGraphSampler:
         if normalize_embed:
             norms = np.linalg.norm(self.node_features, axis=1, keepdims=True)
             self.node_features = self.node_features / np.maximum(norms, 1e-12)
+        # retrieval-prefilter unit vectors (eval_negatives): computed eagerly
+        # so the cache can never serve stale embeddings if node_features were
+        # ever reassigned later (ADVICE r2)
+        if test_topk != -1:
+            self._unit_features = self.node_features / np.maximum(
+                np.linalg.norm(self.node_features, axis=1, keepdims=True),
+                1e-12)
 
         train_ids = list(taxonomy.train_node_ids)
         if mode == "train":
@@ -204,19 +211,12 @@ class MaskedGraphSampler:
         """All unmasked candidate positions, optionally retrieval-prefiltered
         to test_topk by embedding cosine distance (dataset.py:319-325).
 
-        The L2-normalized feature table is computed once and cached — the
-        evaluation engine calls this per query (O(C*D) per call would
-        otherwise be dominated by redundant re-normalization at MAG scale)."""
+        The L2-normalized feature table is computed once, at __init__."""
         masks = self.node2masks[query]
         pool = [p for p in self.candidate_positions if p not in masks]
         if self.test_topk == -1:
             return pool
-        unit = getattr(self, "_unit_features", None)
-        if unit is None:
-            f = np.asarray(self.node_features, dtype=np.float32)
-            unit = f / np.maximum(
-                np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
-            self._unit_features = unit
+        unit = self._unit_features
         dist = 1.0 - unit[np.asarray(pool)] @ unit[query]
         top = np.argsort(dist, kind="stable")[: self.test_topk]
         return [pool[i] for i in top]

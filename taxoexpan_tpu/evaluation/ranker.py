@@ -255,14 +255,10 @@ class TaxonomyRanker:
 
         hg = jax.device_put(self.encode_all_anchors())
         if k != -1:
-            # same normalized table as sampler.eval_negatives (cached there)
-            f = np.asarray(s.node_features, dtype=np.float32)
-            unit = f / np.maximum(
-                np.linalg.norm(f, axis=1, keepdims=True), 1e-12)
-            unit_cand = jax.device_put(
-                unit[np.asarray(self.candidates, dtype=np.int64)])
+            # the exact normalized table sampler.eval_negatives ranks with
+            unit_cand = jax.device_put(s._unit_features[
+                np.asarray(self.candidates, dtype=np.int64)])
         else:
-            unit = None
             unit_cand = None
 
         @jax.jit

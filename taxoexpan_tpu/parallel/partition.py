@@ -95,6 +95,13 @@ def partitioned_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
     """
     p = mesh.shape[axis]
     d = table.shape[1]
+    # the loud-overflow design poisons rows with NaN, which only exists for
+    # float dtypes — an integer table would silently cast NaN to a finite
+    # value and defeat it (ADVICE r2)
+    if not jnp.issubdtype(table.dtype, jnp.floating):
+        raise TypeError(
+            f"partitioned_gather requires a floating-point table (got "
+            f"{table.dtype}): bucket-overflow poisoning relies on NaN")
 
     def local_fn(table_local, ids_local):
         # table_local: [V/P, D]; ids_local: [...] local batch shard
