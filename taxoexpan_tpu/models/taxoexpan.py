@@ -212,6 +212,16 @@ class TaxoExpan:
         feats = self.gather_feats(feature_table, batch.ego)
         qf = batch.query_feats if batch.query_feats is not None \
             else feature_table[batch.query_ids]
+        return self.forward_heads_with_feats(params, batch, feats, qf,
+                                             rng=rng, train=train)
+
+    def forward_heads_with_feats(self, params, batch: GroupBatch,
+                                 ego_feats: jax.Array, qf: jax.Array, *,
+                                 rng: jax.Array, train: bool) -> jax.Array:
+        """forward_heads from pre-gathered (already masked) egonet features —
+        the partitioned-feature-table MTL path (parallel/partition.py), the
+        aux-head analogue of forward_with_feats."""
+        feats = ego_feats
         g, c = batch.labels.shape
         # per-slot propagation once, shared by every head (readout fusion
         # into the final Pallas layer only serves the single-head path)

@@ -191,11 +191,9 @@ class Trainer:
         self._device = jax.devices()[0]
 
     # ----------------------------------------------------------- jitted steps
-    def _model_forward(self, params, batch, feature_table, rng, train):
-        """Replicated-table fast path, or partitioned-table all-to-all path."""
-        if self.feature_mode == "replicated":
-            return self.model.forward(params, batch, feature_table, rng=rng,
-                                      train=train)
+    def _gather_partitioned(self, batch, feature_table):
+        """All-to-all gather of egonet + query features from the
+        row-partitioned table (parallel/partition.py)."""
         from ..ops import star as star_ops
         from ..parallel.partition import partitioned_gather
         model = self.model
@@ -211,16 +209,29 @@ class Trainer:
             qf = partitioned_gather(feature_table,
                                     jnp.asarray(batch.query_ids),
                                     self.mesh, "dp")
-        return model.forward_with_feats(params, batch, feats, qf, rng=rng,
-                                        train=train)
+        return feats, qf
+
+    def _model_forward(self, params, batch, feature_table, rng, train):
+        """Replicated-table fast path, or partitioned-table all-to-all path."""
+        if self.feature_mode == "replicated":
+            return self.model.forward(params, batch, feature_table, rng=rng,
+                                      train=train)
+        feats, qf = self._gather_partitioned(batch, feature_table)
+        return self.model.forward_with_feats(params, batch, feats, qf,
+                                             rng=rng, train=train)
+
+    def _model_forward_heads(self, params, batch, feature_table, rng, train):
+        """forward_heads (MTL shared-trunk scoring) on either feature mode."""
+        if self.feature_mode == "replicated":
+            return self.model.forward_heads(params, batch, feature_table,
+                                            rng=rng, train=train)
+        feats, qf = self._gather_partitioned(batch, feature_table)
+        return self.model.forward_heads_with_feats(params, batch, feats, qf,
+                                                   rng=rng, train=train)
 
     def _build_step(self):
         loss_fn, optimizer = self.loss_fn, self.optimizer
         mtl = bool(getattr(self.model, "aux_heads", None))
-        if mtl and self.feature_mode != "replicated":
-            raise NotImplementedError(
-                "aux_heads (MTL) training is only wired for the replicated "
-                "feature table")
 
         base_rng = self.base_rng
 
@@ -238,8 +249,8 @@ class Trainer:
                     # multi-task heads: mean of the per-head losses over a
                     # shared propagation trunk (models/taxoexpan.py:
                     # forward_heads; MTL reconstruction — see BASELINE.md)
-                    all_scores = self.model.forward_heads(
-                        p, batch, feature_table, rng=rng, train=True)
+                    all_scores = self._model_forward_heads(
+                        p, batch, feature_table, rng, True)
                     loss = jax.vmap(
                         lambda s: loss_fn(s, labels, mask))(all_scores).mean()
                 else:

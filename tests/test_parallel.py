@@ -247,3 +247,22 @@ def test_partitioned_gather_overflow_poisons():
     out2 = np.asarray(partitioned_gather(table, ids_dev, mesh, "dp",
                                          capacity_factor=8.0))
     assert not np.isnan(out2).any()
+
+
+def test_mtl_partitioned_matches_replicated(tmp_path):
+    """aux_heads (MTL) training on the row-partitioned feature table: one
+    epoch must match replicated mode (VERDICT r2 #9 — the guard is lifted,
+    forward_heads routes through pre-gathered features)."""
+    arch_mtl = {"args": dict(ARCH["args"],
+                             aux_heads=[{"readout": "MR", "matcher": "BIM"}])}
+    mesh = data_parallel_mesh()
+    t_rep = _make_trainer(tmp_path / "rep", mesh, "replicated", arch=arch_mtl)
+    assert t_rep.model.aux_heads
+    log_rep = t_rep._train_epoch(1)
+    t_par = _make_trainer(tmp_path / "par", mesh, "partitioned",
+                          arch=arch_mtl)
+    log_par = t_par._train_epoch(1)
+    np.testing.assert_allclose(log_rep["loss"], log_par["loss"], rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(t_rep.params),
+                    jax.tree_util.tree_leaves(t_par.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
