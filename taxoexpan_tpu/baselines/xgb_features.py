@@ -69,6 +69,40 @@ def _stats_block(d: np.ndarray, parent_distance: float) -> list[float]:
             float((d < parent_distance).sum() / len(d))]
 
 
+def _stats_block_batch(vals: np.ndarray, valid: np.ndarray,
+                       pdist: np.ndarray) -> np.ndarray:
+    """_stats_block over the candidate axis: vals/valid [C, M], pdist [C]
+    -> [C, 8] (sentinel rows where a candidate has no valid entries)."""
+    import warnings
+    cnt = valid.sum(axis=1)
+    x = np.where(valid, vals, np.nan)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")   # all-NaN rows -> sentinel below
+        mn = np.nanmin(x, axis=1)
+        mx = np.nanmax(x, axis=1)
+        med = np.nanmedian(x, axis=1)
+        mean = np.nanmean(x, axis=1)
+        std = np.nanstd(x, axis=1)
+    below = np.where(valid, vals < pdist[:, None], False).sum(axis=1)
+    frac = below / np.maximum(cnt, 1)
+    block = np.stack([cnt.astype(np.float64), mn, mx, med, mean, std,
+                      mx - mn, frac], axis=1)
+    return np.where((cnt == 0)[:, None],
+                    np.asarray(_SENTINEL, np.float64), block)
+
+
+def _pad_csr(csr, num_nodes: int) -> tuple[np.ndarray, np.ndarray]:
+    """CSR -> padded [V, M] neighbor-id matrix + validity mask."""
+    deg = np.diff(csr.indptr)
+    m = max(int(deg.max()) if len(deg) else 0, 1)
+    cols = np.arange(m, dtype=np.int64)[None, :]
+    valid = cols < deg[:, None]
+    if len(csr.indices) == 0:
+        return np.zeros((num_nodes, m), np.int64), valid
+    idx = np.minimum(csr.indptr[:-1, None] + cols, len(csr.indices) - 1)
+    return np.where(valid, csr.indices[idx], 0).astype(np.int64), valid
+
+
 class FeatureExtractor:
     """39 features from distance statistics (feature_extractor.py:57-155)."""
 
@@ -104,6 +138,72 @@ class FeatureExtractor:
                  float(np.max(d) - np.min(d))]                  # 34-39 global
         assert len(feat) == NUM_FEATURES
         return feat
+
+    # ------------------------------------------------- batched fast path
+    def _ensure_padded(self) -> None:
+        """One-time padded adjacency + parent-side distance tables.
+
+        The candidate-side distance statistics (features 18-33 minus their
+        relative-rank entries) are QUERY-INDEPENDENT, so the per-edge
+        cosine distances are computed once for the whole taxonomy and laid
+        out as padded [V, deg_max] rows — the batched extractor then only
+        computes one query->all-nodes distance vector per query. This is
+        the intent of the reference's cached fast path
+        (baselines/XGBoost/feature_extractor.py:157-261,
+        model_prediction.py:33-136), which exists because per-pair Python
+        extraction is unusable at ranking time."""
+        if getattr(self, "_gp_ids", None) is not None:
+            return
+        v = len(self.unit)
+        self._gp_ids, self._gp_valid = _pad_csr(self.parents, v)
+        self._ch_ids, self._ch_valid = _pad_csr(self.children, v)
+        rows_p = np.repeat(np.arange(v, dtype=np.int64),
+                           np.diff(self.parents.indptr))
+        self._gp_pd = np.zeros(self._gp_ids.shape, np.float64)
+        self._gp_pd[self._gp_valid] = \
+            1.0 - np.einsum("ed,ed->e", self.unit[self.parents.indices],
+                            self.unit[rows_p])
+        rows_c = np.repeat(np.arange(v, dtype=np.int64),
+                           np.diff(self.children.indptr))
+        self._ch_pd = np.zeros(self._ch_ids.shape, np.float64)
+        self._ch_pd[self._ch_valid] = \
+            1.0 - np.einsum("ed,ed->e", self.unit[self.children.indices],
+                            self.unit[rows_c])
+
+    def extract_features_batch(self, query_node: int, cands) -> np.ndarray:
+        """Vectorized extract_features for one query against many candidate
+        parents -> [C, 39] float32. Memory scales with C * max-degree."""
+        self._ensure_padded()
+        c = np.asarray(cands, dtype=np.int64)
+        dq = 1.0 - self.unit @ self.unit[int(query_node)]        # [V]
+        pdist = dq[c].astype(np.float64)                         # feature 1
+
+        gp_valid = self._gp_valid[c]
+        gp_d = np.where(gp_valid, dq[self._gp_ids[c]], np.nan)
+        sib_valid = self._ch_valid[c] & (self._ch_ids[c] != int(query_node))
+        sib_d = np.where(sib_valid, dq[self._ch_ids[c]], np.nan)
+
+        blocks = [
+            pdist[:, None],
+            _stats_block_batch(gp_d, gp_valid, pdist),           # 2-9
+            _stats_block_batch(sib_d, sib_valid, pdist),         # 10-17
+            _stats_block_batch(self._gp_pd[c], gp_valid, pdist),  # 18-25
+            _stats_block_batch(self._ch_pd[c], sib_valid, pdist),  # 26-33
+        ]
+        # global stats over d = [parent, gps, sibs] (features 34-39)
+        full = np.concatenate([pdist[:, None], gp_d, sib_d], axis=1)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            mn = np.nanmin(full, axis=1)
+            mx = np.nanmax(full, axis=1)
+            blocks.append(np.stack(
+                [mn, mx, np.nanmedian(full, axis=1),
+                 np.nanmean(full, axis=1), np.nanstd(full, axis=1),
+                 mx - mn], axis=1))
+        out = np.concatenate(blocks, axis=1).astype(np.float32)
+        assert out.shape == (len(c), NUM_FEATURES)
+        return out
 
 
 def generate_supervision(taxonomy: Taxonomy, negative_size: int = 30,
@@ -231,7 +331,11 @@ def train_booster(x: np.ndarray, y: np.ndarray, num_rounds: int = 200,
 
 def evaluate(taxonomy: Taxonomy, booster, retrieval_size: int = -1) -> dict:
     """Rank candidates per test query with booster scores
-    (model_prediction.py:104-136)."""
+    (model_prediction.py:104-136). Features come from the vectorized
+    extract_features_batch — the per-pair Python loop was O(Q*C) function
+    calls and unusable at MAG scale (the reference grew its cached
+    extract_features_fast for exactly this reason,
+    feature_extractor.py:157-261)."""
     import xgboost as xgb
     fe = FeatureExtractor(taxonomy)
     train_ids = [int(t) for t in taxonomy.train_node_ids]
@@ -247,10 +351,10 @@ def evaluate(taxonomy: Taxonomy, booster, retrieval_size: int = -1) -> dict:
             d = 1.0 - fe.unit[np.asarray(cands)] @ fe.unit[int(q)]
             order = np.argsort(d)[:retrieval_size]
             cands = sorted(set([train_ids[i] for i in order]) | set(parents))
-        x = np.asarray([fe.extract_features(int(q), c) for c in cands],
-                       np.float32)
+        x = fe.extract_features_batch(int(q), cands)
         scores = booster.predict(xgb.DMatrix(x))
-        pos_idx = [cands.index(p) for p in parents]
+        cand_col = {cand: i for i, cand in enumerate(cands)}
+        pos_idx = [cand_col[p] for p in parents]
         all_ranks.append(ranks_from_scores(scores, pos_idx, mode=1))
     return {
         "num_queries": len(all_ranks),

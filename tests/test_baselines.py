@@ -116,3 +116,40 @@ def test_tune_booster_without_xgboost_raises():
     with pytest.raises(RuntimeError, match="xgboost"):
         tune_booster(np.zeros((4, 2)), np.zeros(4), np.zeros((2, 2)),
                      np.zeros(2))
+
+
+def test_extract_features_batch_matches_per_pair(taxo):
+    """The vectorized extractor must reproduce the per-pair feature vectors
+    (the reference's cached fast path exists for the same parity contract,
+    feature_extractor.py:157-261). Covers leaf candidates (no children),
+    root candidates (no grandparents), and the query-in-children exclusion."""
+    fe = FeatureExtractor(taxo)
+    rng = np.random.default_rng(0)
+    train = [int(t) for t in taxo.train_node_ids]
+    deg_out = np.diff(taxo.children.indptr)
+    deg_in = np.diff(taxo.parents.indptr)
+    # stratified candidates: leaves, roots, hubs, random
+    cands = set(rng.choice(train, size=30, replace=False).tolist())
+    cands |= {int(np.argmax(deg_out)), int(np.argmin(deg_in))}
+    for q in train[:6]:
+        parents = taxo.parents.neighbors(q).tolist()
+        cc = sorted(cands | set(parents))          # includes true parents
+        batch = fe.extract_features_batch(q, cc)
+        assert batch.shape == (len(cc), NUM_FEATURES)
+        for ci, c in enumerate(cc):
+            want = np.asarray(fe.extract_features(q, c), np.float32)
+            np.testing.assert_allclose(batch[ci], want, rtol=2e-5,
+                                       atol=2e-6,
+                                       err_msg=f"q={q} cand={c}")
+
+
+def test_extract_features_batch_query_sibling_exclusion(taxo):
+    """A candidate that is the query's own parent must exclude the query
+    from its sibling block in both paths."""
+    fe = FeatureExtractor(taxo)
+    for q in [int(t) for t in taxo.train_node_ids][:50]:
+        for p in taxo.parents.neighbors(q).tolist():
+            sibs = [c for c in taxo.children.neighbors(p).tolist() if c != q]
+            row = fe.extract_features_batch(q, [p])[0]
+            assert row[9] == len(sibs)   # sibling-block count (feature 10)
+            break
