@@ -25,6 +25,47 @@ from taxoexpan_tpu.data.embeddings import (load_word2vec_format,  # noqa: E402
                                            save_word2vec_format)
 
 
+def build_taxonomy_files(synsets, tokens, vectors, name: str,
+                         out_dir: str) -> tuple[int, int]:
+    """Pure build step: WordNet-style synsets -> .terms/.taxo/.embed files.
+
+    `synsets` is any iterable of objects with the nltk Synset surface used
+    here (name(), hyponyms(), lemmas()[0].name(), definition()) — the e2e
+    test drives this with a stub mini-corpus so the pipeline is exercised
+    without the external nltk download (semeval-task14.ipynb port)."""
+    edges = []
+    for s in synsets:
+        edges.extend((s.name(), h.name()) for h in s.hyponyms())
+
+    tok2row = {t: i for i, t in enumerate(tokens)}
+    ids, vecs = [], []
+    for s in synsets:
+        words = s.lemmas()[0].name().replace("_", " ").split()
+        rows = [tok2row[w] for w in words if w in tok2row]
+        if not rows:
+            rows = [tok2row[w] for w in s.definition().split()
+                    if w in tok2row]
+        if not rows:
+            continue
+        ids.append(s.name())
+        vecs.append(vectors[rows].mean(axis=0))
+    kept = set(ids)
+    edges = [(a, b) for a, b in edges if a in kept and b in kept]
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{name}.terms"), "w",
+              encoding="utf-8") as f:
+        for s in ids:
+            f.write(f"{s}\t{s}\n")
+    with open(os.path.join(out_dir, f"{name}.taxo"), "w",
+              encoding="utf-8") as f:
+        for a, b in edges:
+            f.write(f"{a}\t{b}\n")
+    save_word2vec_format(os.path.join(out_dir, f"{name}.terms.embed"),
+                         ids, np.asarray(vecs, dtype=np.float32))
+    return len(ids), len(edges)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--pos", default="n", choices=["n", "v"])
@@ -42,38 +83,10 @@ def main() -> None:
             f"(nltk.download('wordnet')): {e}")
 
     synsets = list(wn.all_synsets(args.pos))
-    edges = []
-    for s in synsets:
-        edges.extend((s.name(), h.name()) for h in s.hyponyms())
-
     tokens, vectors = load_word2vec_format(args.embed)
-    tok2row = {t: i for i, t in enumerate(tokens)}
-    ids, vecs = [], []
-    for s in synsets:
-        words = s.lemmas()[0].name().replace("_", " ").split()
-        rows = [tok2row[w] for w in words if w in tok2row]
-        if not rows:
-            rows = [tok2row[w] for w in s.definition().split()
-                    if w in tok2row]
-        if not rows:
-            continue
-        ids.append(s.name())
-        vecs.append(vectors[rows].mean(axis=0))
-    kept = set(ids)
-    edges = [(a, b) for a, b in edges if a in kept and b in kept]
-
-    os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, f"{args.name}.terms"), "w",
-              encoding="utf-8") as f:
-        for s in ids:
-            f.write(f"{s}\t{s}\n")
-    with open(os.path.join(args.out, f"{args.name}.taxo"), "w",
-              encoding="utf-8") as f:
-        for a, b in edges:
-            f.write(f"{a}\t{b}\n")
-    save_word2vec_format(os.path.join(args.out, f"{args.name}.terms.embed"),
-                         ids, np.asarray(vecs, dtype=np.float32))
-    print(f"wrote {len(ids)} synsets, {len(edges)} edges")
+    n_syn, n_edges = build_taxonomy_files(synsets, tokens, vectors,
+                                          args.name, args.out)
+    print(f"wrote {n_syn} synsets, {n_edges} edges")
 
 
 if __name__ == "__main__":
