@@ -169,10 +169,14 @@ def _common_prologue(x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb,
         pe_rows = jnp.broadcast_to(pe_ref[:][None], (tb, n, pos_dim))
         pe_b = (pe_mask.reshape(tb, n, pos_dim) * pe_rows).reshape(
             tb * n, pos_dim)
-        ft = ft + jnp.dot(pe_b, wp_ref[:], preferred_element_type=jnp.float32)
-        a1 = a1 + jnp.dot(pe_b, wpa1_ref[:],
+        # contract in the layer dtype (pe_b/wp are f32 residents; a mixed
+        # dot would promote to a full-f32 matmul — see _bwd_epilogue note)
+        pe_c = pe_b.astype(x.dtype)
+        ft = ft + jnp.dot(pe_c, wp_ref[:].astype(x.dtype),
                           preferred_element_type=jnp.float32)
-        a2 = a2 + jnp.dot(pe_b, wpa2_ref[:],
+        a1 = a1 + jnp.dot(pe_c, wpa1_ref[:].astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+        a2 = a2 + jnp.dot(pe_c, wpa2_ref[:].astype(x.dtype),
                           preferred_element_type=jnp.float32)
     row0 = pl.multiple_of(tile * tb, tb)
     ngp = ngp_ref[pl.ds(row0, tb), :]
@@ -455,9 +459,26 @@ def _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref, dft_buf, da1_buf,
                   dba1_ref, dba2_ref, tb, n, heads, dh, pe_refs=None,
                   pe_grad_refs=None, pe_b=None, pe_mask=None):
     """Shared backward epilogue: dft/da buffers -> dx and parameter grads."""
+    import os
     dft = dft_buf[:].reshape(tb * n, heads * dh)
     da1_flat = da1_buf[:].reshape(tb * n, heads)
     da2_flat = da2_buf[:].reshape(tb * n, heads)
+
+    # MXU dtype for the dx/dW contractions. The cotangent buffers are f32
+    # scratch; mixed f32xbf16 dots promote to full-f32 matmuls, which run
+    # the v5e MXU at ~1/4 of bf16 rate — at the MAG bench shape the dx+dW
+    # passes are 2/3 of the step FLOPs, so this single promotion dominated
+    # the round-2 41.6 ms step. When the layer runs in bf16 (production
+    # compute_dtype) we downcast the cotangents for the CONTRACTION ONLY:
+    # accumulation stays f32 via preferred_element_type and the f32
+    # sequential-grid += into the dw refs, matching standard mixed-precision
+    # training (grads materialize in bf16 anyway: dx_ref is x.dtype).
+    # TAXOEXPAN_BWD_MM_F32=1 restores full-f32 contractions for A/B runs.
+    mm_dtype = jnp.float32 if os.environ.get("TAXOEXPAN_BWD_MM_F32") == "1" \
+        else x.dtype
+    dft_mm = dft.astype(mm_dtype)
+    da1_mm = da1_flat.astype(mm_dtype)
+    da2_mm = da2_flat.astype(mm_dtype)
 
     # dx = dft @ W^T + da1 @ wa1^T + da2 @ wa2^T — expressed as dot_general
     # contractions over the shared dim so no transpose is materialized in
@@ -473,16 +494,16 @@ def _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref, dft_buf, da1_buf,
             preferred_element_type=jnp.float32)
 
     if dx_ref is not None:
-        dx = (dot_nt(dft, w_ref[:]) + dot_nt(da1_flat, wa1_ref[:]) +
-              dot_nt(da2_flat, wa2_ref[:]))
+        dx = (dot_nt(dft_mm, w_ref[:]) + dot_nt(da1_mm, wa1_ref[:]) +
+              dot_nt(da2_mm, wa2_ref[:]))
         if feat_mask is not None:   # chain through the fused input dropout
             dx = dx * feat_mask
         dx_ref[:] = dx.reshape(tb, n, -1).astype(dx_ref.dtype)
 
     # parameter grads accumulate across sequential grid steps
-    dw_ref[:] += dot_tn(x, dft)
-    dwa1_ref[:] += dot_tn(x, da1_flat)
-    dwa2_ref[:] += dot_tn(x, da2_flat)
+    dw_ref[:] += dot_tn(x, dft_mm)
+    dwa1_ref[:] += dot_tn(x, da1_mm)
+    dwa2_ref[:] += dot_tn(x, da2_mm)
     # slot-bias grads: sum the per-slot contributions over the tile batch
     dbft_ref[:] += jnp.sum(dft_buf[:], axis=0)
     dba1_ref[:] += jnp.sum(da1_buf[:], axis=0)
@@ -493,13 +514,17 @@ def _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref, dft_buf, da1_buf,
         dpe_ref, dwp_ref, dwpa1_ref, dwpa2_ref = pe_grad_refs
         pos_dim = pe_b.shape[1]
         # d(masked pe rows), then chain through mask and sum rows per slot
-        d_peb = (dot_nt(dft, wp_ref[:]) + dot_nt(da1_flat, wpa1_ref[:]) +
-                 dot_nt(da2_flat, wpa2_ref[:]))           # [TB*N, pos]
+        # (pe_b / wp are f32 residents — cast to the contraction dtype so
+        # these dots do not silently promote back to f32 matmuls)
+        pe_mm = pe_b.astype(mm_dtype)
+        d_peb = (dot_nt(dft_mm, wp_ref[:].astype(mm_dtype)) +
+                 dot_nt(da1_mm, wpa1_ref[:].astype(mm_dtype)) +
+                 dot_nt(da2_mm, wpa2_ref[:].astype(mm_dtype)))  # [TB*N, pos]
         dpe_ref[:] += jnp.sum(
             (d_peb * pe_mask).reshape(tb, n, pos_dim), axis=0)
-        dwp_ref[:] += dot_tn(pe_b, dft)
-        dwpa1_ref[:] += dot_tn(pe_b, da1_flat)
-        dwpa2_ref[:] += dot_tn(pe_b, da2_flat)
+        dwp_ref[:] += dot_tn(pe_mm, dft_mm)
+        dwpa1_ref[:] += dot_tn(pe_mm, da1_mm)
+        dwpa2_ref[:] += dot_tn(pe_mm, da2_mm)
 
 
 def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
