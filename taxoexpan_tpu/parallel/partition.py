@@ -66,8 +66,8 @@ def bucket_capacity(n: int, p: int, factor: float = 2.0) -> int:
 
 
 def partitioned_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
-                       axis: str = "dp", capacity_factor: float = 2.0
-                       ) -> jax.Array:
+                       axis: str = "dp", capacity_factor: float = 2.0,
+                       impl: str | None = None) -> jax.Array:
     """Gather rows of a row-partitioned table by global node id.
 
     table: owner-major sharded array from `shard_table` ([V, D], shard k
@@ -92,7 +92,19 @@ def partitioned_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
     the overflowed rows with NaN and emits a debug print — loss goes NaN
     immediately instead of training on silently-wrong features. Raise
     `capacity_factor` if that ever fires.
+
+    impl: "all_to_all" (default) = two lax.all_to_all hops with an XLA
+    gather between them; "ring" = the fused Pallas RDMA ring kernel
+    (parallel/halo.py) that owns the comm/compute overlap explicitly.
+    None reads TAXOEXPAN_HALO (same values) so a trained run can swap
+    implementations without code changes.
     """
+    import os
+    if impl is None:
+        impl = os.environ.get("TAXOEXPAN_HALO", "all_to_all")
+    if impl not in ("all_to_all", "ring"):
+        raise ValueError(f"unknown halo impl {impl!r}")
+    interpret = jax.default_backend() != "tpu"
     p = mesh.shape[axis]
     d = table.shape[1]
     # the loud-overflow design poisons rows with NaN, which only exists for
@@ -145,13 +157,21 @@ def partitioned_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
         req = req.at[sorted_owner, rank_in_bucket].set(
             sorted_slot, mode="drop")
 
-        # hop 1: send requests to owners
-        incoming = jax.lax.all_to_all(req, axis, 0, 0, tiled=False)
-        # answer with local rows (out-of-range padded ids read row 0 — they
-        # are dropped by validity on return)
-        answers = table_local[incoming]                     # [P, cap, D]
-        # hop 2: return feature rows to requesters
-        returned = jax.lax.all_to_all(answers, axis, 0, 0, tiled=False)
+        if impl == "ring":
+            # fused Pallas RDMA ring: both hops + the owner-side gather in
+            # one kernel with explicit comm/compute overlap (halo.py)
+            from .halo import ring_exchange
+            returned = ring_exchange(
+                table_local, req, axis=axis, p=p,
+                interpret=interpret).astype(table_local.dtype)
+        else:
+            # hop 1: send requests to owners
+            incoming = jax.lax.all_to_all(req, axis, 0, 0, tiled=False)
+            # answer with local rows (out-of-range padded ids read row 0 —
+            # they are dropped by validity on return)
+            answers = table_local[incoming]                 # [P, cap, D]
+            # hop 2: return feature rows to requesters
+            returned = jax.lax.all_to_all(answers, axis, 0, 0, tiled=False)
 
         # un-bucket into request order; poison overflowed rows
         out_sorted = returned[sorted_owner,
@@ -173,8 +193,12 @@ def partitioned_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
         out = rows[uslot]                                   # per request
         return out.reshape(*ids_local.shape, d)
 
+    # check_vma=False: the Pallas interpret machinery behind impl="ring"
+    # mixes varying/unvarying aval annotations that trip shard_map's vma
+    # audit (the error itself recommends this workaround); correctness is
+    # covered by the parity tests in tests/test_halo.py + test_parallel.py
     return jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
-        out_specs=P(axis),
+        out_specs=P(axis), check_vma=False,
     )(table, ids)
