@@ -20,6 +20,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -79,13 +81,24 @@ def main():
     best = os.path.join(art, "mag_scale_saved", "models", cfg["name"],
                         run_dirs[-1], "model_best.ckpt")
 
-    # 4. evaluate best checkpoint + case study
+    # 4. evaluate best checkpoint + case study — twice: the first pass pays
+    #    any remaining compile cost, the second measures the warm eval the
+    #    VERDICT r2 #2 target (<=30 s at MAG scale) is about. Metrics must
+    #    be identical across the two passes.
     case_tsv = os.path.join(art, "mag_scale_case_study.tsv")
     r_eval, t_eval = run([sys.executable, "test_fast.py", "-r", best,
                           "--case", case_tsv] + dev, timeout=3600)
     eval_out = r_eval.stdout + r_eval.stderr
     m = re.findall(r"\{[^{}]*'macro_mr'[^{}]*\}", eval_out)
     metrics = m[-1] if m else "(metrics line not found)"
+    r_eval2, t_eval_warm = run([sys.executable, "test_fast.py", "-r", best]
+                               + dev, timeout=3600)
+    eval2_out = r_eval2.stdout + r_eval2.stderr
+    m2 = re.findall(r"\{[^{}]*'macro_mr'[^{}]*\}", eval2_out)
+    metrics_warm = m2[-1] if m2 else "(metrics line not found)"
+    if metrics_warm != metrics:
+        print("WARNING: warm-eval metrics differ from cold-eval metrics",
+              file=sys.stderr)
 
     # 5. simple_parent baseline on the same data for context
     r_base, _ = run([sys.executable, "-m",
@@ -93,9 +106,16 @@ def main():
                      data], timeout=1800)
     baseline = r_base.stdout.strip().splitlines()[-6:]
 
-    # 6. throughput lines from the trainer log
+    # 6. throughput + epoch-time breakdown lines from the trainer log
     epochs_run = len(re.findall(r"\bloss\s*:", log)) or "?"
     steps = re.findall(r"edges_per_sec\s*:\s*([\d.e+]+)", log)
+    egonets = [float(x) for x in
+               re.findall(r"egonets_per_sec\s*:\s*([\d.e+]+)", log)]
+    timings = re.findall(r"timing\s*:\s*(\{[^}]*\})", log)
+    epoch_secs = [float(x) for x in
+                  re.findall(r"epoch_seconds\s*:\s*([\d.e+]+)", log)]
+    ckpt_secs = [float(x) for x in
+                 re.findall(r"checkpoint_s\s*:\s*([\d.e+]+)", log)]
 
     with open(os.path.join(art, "MAG_SCALE_RUN.md"), "w") as f:
         f.write("# Reference-scale training artifact (synthetic MAG-CS)\n\n")
@@ -107,12 +127,33 @@ def main():
         f.write(f"- config: {cfg_path} (config.mag.json shape, bf16, "
                 f"kernel=auto)\n")
         f.write(f"- training wall-clock: {t_train:.0f} s "
-                f"({epochs_run} epoch-logs), eval: {t_eval:.0f} s\n")
+                f"({epochs_run} epoch-logs), eval: cold {t_eval:.0f} s, "
+                f"warm {t_eval_warm:.0f} s (metrics "
+                f"{'identical' if metrics_warm == metrics else 'DIFFER'})\n")
         if steps:
             f.write(f"- last logged training throughput: {steps[-1]} "
                     f"edges/s (end-to-end epoch incl. host sampling)\n")
+        if egonets:
+            mid = egonets[1:] or egonets  # drop the compile-heavy 1st epoch
+            f.write(f"- egonets/s per epoch: median {np.median(mid):.0f}, "
+                    f"max {max(mid):.0f} (epoch 1 incl. compile: "
+                    f"{egonets[0]:.0f})\n")
         f.write(f"\n## test_fast.py metrics (best checkpoint)\n\n"
                 f"```\n{metrics}\n```\n")
+        if timings or epoch_secs:
+            f.write("\n## epoch-time breakdown (trainer timing log)\n\n"
+                    "`wait_s` = consumer blocked on host sampler + H2D feed "
+                    "thread; `dispatch_s` = async step dispatches; `sync_s` "
+                    "= single epoch-end loss readback (device compute "
+                    "drains here); `valid_s` = validation pass; "
+                    "`checkpoint_s` = checkpoint write.\n\n```\n")
+            for i, t in enumerate(timings):
+                es = f" epoch_seconds={epoch_secs[i]:.1f}" \
+                    if i < len(epoch_secs) else ""
+                cs = f" checkpoint_s={ckpt_secs[i]:.1f}" \
+                    if i < len(ckpt_secs) else ""
+                f.write(f"epoch {i + 1}:{es} {t}{cs}\n")
+            f.write("```\n")
         f.write("\n## simple_parent baseline on the same data\n\n```\n"
                 + "\n".join(baseline) + "\n```\n")
         f.write(f"\n## case study\n\n`{os.path.basename(case_tsv)}` "
