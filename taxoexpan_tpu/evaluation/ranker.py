@@ -65,9 +65,27 @@ class TaxonomyRanker:
         self._match_all_jit = jax.jit(
             lambda p, hg, qf: model.match_all(p, hg, qf))
 
+        def _encode_map(p, table, ids3, ngp2, nsib2):
+            # [K, chunk, ...] -> [K, chunk, l_dim]: gather + encode per
+            # chunk under lax.map, all inside one jit (single dispatch)
+            from ..data.egobatch import EgoBatch
+
+            def body(args):
+                ids_c, ngp_c, nsib_c = args
+                feats = model.gather_feats(
+                    table, EgoBatch(node_ids=ids_c, ngp=ngp_c, nsib=nsib_c))
+                return model.encode(p, feats, ngp_c, nsib_c,
+                                    rng=jax.random.PRNGKey(0), train=False)
+
+            return jax.lax.map(body, (ids3, ngp2, nsib2))
+
+        self._encode_map_jit = jax.jit(_encode_map)
+
     # ------------------------------------------------------------ phase 1
-    def encode_all_anchors(self) -> np.ndarray:
-        """Encode every candidate egonet once -> hg [C, l_dim] (host array).
+    def encode_all_anchors(self):
+        """Encode every candidate egonet once -> hg [C, l_dim] (device array
+        on the single-device path, host array on the mesh path — consumers
+        only device_put/shape it, so both work).
 
         Host-fast: ALL anchor egonets are built in one vectorized CSR pass
         (sampler.anchor_ego_batch — replacing the per-anchor Python loop that
@@ -91,19 +109,45 @@ class TaxonomyRanker:
         ngp[:n] = ego_all.ngp
         nsib[:n] = ego_all.nsib
 
+        import time as _time
+        t0 = _time.time()
         table = jax.device_put(self.feature_table)
-        dev_chunks = []
         from ..data.egobatch import EgoBatch
+        if self._shard is None and n_pad:
+            # single-device fast path: ONE jit call — the chunk loop rides
+            # lax.map INSIDE the jit (gather + encode fused per chunk), so
+            # the whole phase is one dispatch + one readback. Through the
+            # axon relay every eager dispatch/readback is a network round
+            # trip with multi-second worst-case latency; the previous
+            # 7-eager-gather + 7-dispatch loop was what made warm eval
+            # relay-bound.
+            chunk = self.encode_chunk
+            ids3 = node_ids.reshape(-1, chunk, node_ids.shape[1])
+            ngp2 = ngp.reshape(-1, chunk)
+            nsib2 = nsib.reshape(-1, chunk)
+            hg = self._encode_map_jit(self.params, table,
+                                      jax.numpy.asarray(ids3),
+                                      jax.numpy.asarray(ngp2),
+                                      jax.numpy.asarray(nsib2))
+            # hg STAYS on device: every consumer (match_all / rank_chunk /
+            # infer_chunk) would immediately device_put it back, and the
+            # [C, l_dim] readback is the largest transfer of the whole eval
+            # (57 MB at MAG scale — minutes through a degraded relay)
+            self._hg = hg.reshape(n_pad, -1)[:n]
+            jax.block_until_ready(self._hg)
+            logger.info("encode done at +%.1fs", _time.time() - t0)
+            logger.info("Encoded %d candidate positions",
+                        len(self.candidates))
+            return self._hg
+        dev_chunks = []
         for lo in range(0, n_pad, self.encode_chunk):
             hi = lo + self.encode_chunk
             batch = EgoBatch(node_ids=node_ids[lo:hi], ngp=ngp[lo:hi],
                              nsib=nsib[lo:hi])
-            if self._shard is not None:   # candidate-axis sharding over 'dp'
-                dev_batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(np.asarray(x), self._shard),
-                    batch)
-            else:
-                dev_batch = _device_batch(batch)
+            # candidate-axis sharding over 'dp'
+            dev_batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), self._shard),
+                batch)
             feats = self.model.gather_feats(table, dev_batch)
             dev_chunks.append(self._encode_jit(
                 self.params, feats, jax.numpy.asarray(dev_batch.ngp),
@@ -111,6 +155,7 @@ class TaxonomyRanker:
         if dev_chunks:
             self._hg = np.concatenate(jax.device_get(dev_chunks),
                                       axis=0)[:n]
+            logger.info("encode readback done at +%.1fs", _time.time() - t0)
         else:
             self._hg = np.zeros((0, 1), np.float32)
         logger.info("Encoded %d candidate positions", len(self.candidates))
@@ -186,20 +231,31 @@ class TaxonomyRanker:
         pos_cols = np.full((q_total, max_pos), n_cand, dtype=np.int32)
         for qi, p in enumerate(pos_lists):
             pos_cols[qi, :len(p)] = p
-        pool = np.ones((q_total, n_cand), dtype=bool)
+        # masked (query-row, candidate-col) pairs — uploaded as a compact
+        # index list (~1 MB) instead of the dense [Q, C] bool pool (40 MB at
+        # MAG scale); the pool itself is built ON DEVICE by one scatter in
+        # _rank_on_device. Through the relay, upload bytes are the eval's
+        # scarcest resource.
         col_of = np.full(len(s.node_features), -1, dtype=np.int64)
         col_of[np.asarray(self.candidates, dtype=np.int64)] = \
             np.arange(n_cand)
+        mask_rows, mask_cols = [], []
         for qi, query in enumerate(queries):
             masked = s.node2masks.get(query)
             if masked:
                 cols = col_of[np.fromiter(masked, dtype=np.int64,
                                           count=len(masked))]
-                pool[qi, cols[cols >= 0]] = False
+                cols = cols[cols >= 0]
+                mask_rows.append(np.full(cols.shape[0], qi, np.int32))
+                mask_cols.append(cols.astype(np.int32))
+        mask_rows = (np.concatenate(mask_rows) if mask_rows
+                     else np.zeros(0, np.int32))
+        mask_cols = (np.concatenate(mask_cols) if mask_cols
+                     else np.zeros(0, np.int32))
 
         qf = s.node_features[np.asarray(queries)].astype(np.float32)
-        ranks_all, top5_all = self._rank_on_device(qf, pool, pos_cols,
-                                                   rank_mode)
+        ranks_all, top5_all = self._rank_on_device(
+            qf, (mask_rows, mask_cols), pos_cols, rank_mode)
 
         totals = np.zeros(len(metric_fns))
         cases: list[list[str]] = []
@@ -229,19 +285,25 @@ class TaxonomyRanker:
         result["test_topk"] = s.test_topk
         return result, cases
 
-    def _rank_on_device(self, qf: np.ndarray, pool: np.ndarray,
+    def _rank_on_device(self, qf: np.ndarray,
+                        mask_pairs: tuple[np.ndarray, np.ndarray],
                         pos_cols: np.ndarray, rank_mode: int
                         ) -> tuple[np.ndarray, np.ndarray]:
-        """Chunked device ranking: returns (ranks [Q, P] int32 with rank 0 in
+        """Device ranking: returns (ranks [Q, P] int32 with rank 0 in
         invalid positive slots, top5 [Q, 5] candidate columns).
 
-        Per chunk: scores = matcher.apply_all (one MXU matmul for BIM/LBM),
-        optional test_topk retrieval prefilter (cosine distances against the
-        L2-normalized feature table + kth-value threshold with
+        ONE jit dispatch for the whole phase: the [Q, C] negative pool is
+        built on device from the compact masked-pair list (one scatter), and
+        the per-chunk work — scores = matcher.apply_all (one MXU matmul for
+        BIM/LBM), optional test_topk retrieval prefilter (cosine distances
+        against the L2-normalized feature table + kth-value threshold with
         stable-by-index tie fill — exact eval_negatives parity,
         dataset.py:321-325), then rank = 1 + |{usable negatives scoring
-        better}| for every positive column, matching
-        metrics.ranks_from_scores. Only O(Q*P) ints return to host."""
+        better}| per positive column, matching metrics.ranks_from_scores —
+        rides lax.map over query chunks inside the jit. Host traffic is the
+        query features up and O(Q*P) rank ints down; through the axon relay
+        (multi-second round trips when degraded) dispatch/upload count is
+        what dominates eval wall-clock, not device FLOPs."""
         import jax.numpy as jnp
         from jax import lax
 
@@ -252,6 +314,9 @@ class TaxonomyRanker:
         topk = s.test_topk
         k = min(topk, n_cand) if topk != -1 else -1
         n_top = min(5, n_cand)
+        chunk = min(self.query_chunk, max(q_total, 1))
+        q_pad = -(-max(q_total, 1) // chunk) * chunk
+        n_chunks = q_pad // chunk
 
         hg = jax.device_put(self.encode_all_anchors())
         if k != -1:
@@ -261,57 +326,66 @@ class TaxonomyRanker:
         else:
             unit_cand = None
 
-        @jax.jit
-        def rank_chunk(params, hg, qf_c, qunit_c, pool_c, pos_c):
-            scores = self.model.match_all(params, hg, qf_c)      # [q, C]
-            if k != -1:
-                dist = 1.0 - lax.dot_general(
-                    qunit_c, unit_cand,
-                    (((1,), (1,)), ((), ())),
-                    precision=lax.Precision.HIGHEST)             # [q, C]
-                dist = jnp.where(pool_c, dist, jnp.inf)
-                pool_eff = _topk_mask(dist, k)
-            else:
-                pool_eff = pool_c
-            rows = jnp.arange(pool_c.shape[0])[:, None]
-            # positives never count as negatives (ranks_from_scores:67);
-            # invalid slots hold n_cand -> dropped by the OOB scatter
-            neg = pool_eff.at[rows, pos_c].set(False)
-            pos_scores = jnp.take_along_axis(
-                scores, jnp.minimum(pos_c, n_cand - 1), axis=1)  # [q, P]
-            if mode1:
-                better = scores[:, None, :] > pos_scores[:, :, None]
-            else:
-                better = scores[:, None, :] < pos_scores[:, :, None]
-            ranks = 1 + jnp.sum(better & neg[:, None, :],
-                                axis=2, dtype=jnp.int32)         # [q, P]
-            # case-study predictions: positives + usable negatives, best
-            # first (lax.top_k tie-break = lowest candidate index)
-            allowed = pool_eff.at[rows, pos_c].set(True)
-            fill = -jnp.inf if mode1 else jnp.inf
-            case = jnp.where(allowed, scores, fill)
-            top5 = lax.top_k(case if mode1 else -case, n_top)[1]
-            return ranks, top5
+        qf_p = np.zeros((q_pad, qf.shape[1]), np.float32)
+        qf_p[:q_total] = qf
+        pos_p = np.full((q_pad, max_pos), n_cand, np.int32)
+        pos_p[:q_total] = pos_cols
+        if k != -1:
+            qunit_p = qf_p / np.maximum(
+                np.linalg.norm(qf_p, axis=1, keepdims=True), 1e-12)
+        else:
+            qunit_p = np.zeros((q_pad, 1), np.float32)
 
-        chunk = self.query_chunk
-        out_r, out_t = [], []
-        for lo in range(0, q_total, chunk):
-            hi = min(lo + chunk, q_total)
-            pad = chunk - (hi - lo)
-            qf_c = np.pad(qf[lo:hi], ((0, pad), (0, 0)))
-            pool_c = np.pad(pool[lo:hi], ((0, pad), (0, 0)))
-            pos_c = np.pad(pos_cols[lo:hi], ((0, pad), (0, 0)),
-                           constant_values=n_cand)
-            qunit_c = (qf_c / np.maximum(
-                np.linalg.norm(qf_c, axis=1, keepdims=True), 1e-12)
-                if k != -1 else np.zeros((chunk, 1), np.float32))
-            r, t = rank_chunk(self.params, hg, jax.device_put(qf_c),
-                              jax.device_put(qunit_c),
-                              jax.device_put(pool_c), jax.device_put(pos_c))
-            out_r.append(r)
-            out_t.append(t)
-        ranks = np.concatenate(jax.device_get(out_r), axis=0)[:q_total]
-        top5 = np.concatenate(jax.device_get(out_t), axis=0)[:q_total]
+        @jax.jit
+        def rank_all(params, hg, qf_a, qunit_a, pos_a, mrows, mcols):
+            pool = jnp.ones((q_pad, n_cand), bool
+                            ).at[mrows, mcols].set(False)
+
+            def body(args):
+                qf_c, qunit_c, pos_c, pool_c = args
+                scores = self.model.match_all(params, hg, qf_c)  # [q, C]
+                if k != -1:
+                    dist = 1.0 - lax.dot_general(
+                        qunit_c, unit_cand,
+                        (((1,), (1,)), ((), ())),
+                        precision=lax.Precision.HIGHEST)         # [q, C]
+                    dist = jnp.where(pool_c, dist, jnp.inf)
+                    pool_eff = _topk_mask(dist, k)
+                else:
+                    pool_eff = pool_c
+                rows = jnp.arange(pool_c.shape[0])[:, None]
+                # positives never count as negatives (ranks_from_scores:67);
+                # invalid slots hold n_cand -> dropped by the OOB scatter
+                neg = pool_eff.at[rows, pos_c].set(False)
+                pos_scores = jnp.take_along_axis(
+                    scores, jnp.minimum(pos_c, n_cand - 1), axis=1)  # [q, P]
+                if mode1:
+                    better = scores[:, None, :] > pos_scores[:, :, None]
+                else:
+                    better = scores[:, None, :] < pos_scores[:, :, None]
+                ranks = 1 + jnp.sum(better & neg[:, None, :],
+                                    axis=2, dtype=jnp.int32)     # [q, P]
+                # case-study predictions: positives + usable negatives, best
+                # first (lax.top_k tie-break = lowest candidate index)
+                allowed = pool_eff.at[rows, pos_c].set(True)
+                fill = -jnp.inf if mode1 else jnp.inf
+                case = jnp.where(allowed, scores, fill)
+                top5 = lax.top_k(case if mode1 else -case, n_top)[1]
+                return ranks, top5
+
+            return lax.map(body, (
+                qf_a.reshape(n_chunks, chunk, -1),
+                qunit_a.reshape(n_chunks, chunk, -1),
+                pos_a.reshape(n_chunks, chunk, -1),
+                pool.reshape(n_chunks, chunk, n_cand)))
+
+        r, t = rank_all(self.params, hg, jax.device_put(qf_p),
+                        jax.device_put(qunit_p), jax.device_put(pos_p),
+                        jax.device_put(mask_pairs[0]),
+                        jax.device_put(mask_pairs[1]))
+        ranks = np.asarray(jax.device_get(r)).reshape(
+            q_pad, max_pos)[:q_total]
+        top5 = np.asarray(jax.device_get(t)).reshape(q_pad, n_top)[:q_total]
         return ranks, top5
 
     def _negative_mask(self, query: int, cand_index: dict[int, int]
@@ -357,6 +431,11 @@ class TaxonomyRanker:
         n_top = min(topk, n_cand)
         mode1 = rank_mode == 1
         k = min(prefilter, n_cand) if prefilter != -1 else -1
+        if q.shape[0] == 0:
+            return []
+        chunk = min(self.query_chunk, q.shape[0])
+        q_pad = -(-q.shape[0] // chunk) * chunk
+        n_chunks = q_pad // chunk
 
         hg = jax.device_put(self.encode_all_anchors())
         if k != -1:
@@ -365,31 +444,37 @@ class TaxonomyRanker:
                 np.linalg.norm(cand, axis=1, keepdims=True), 1e-12)
             unit_cand = jax.device_put(cn)
 
-        @jax.jit
-        def infer_chunk(params, hg, qf_c, qunit_c):
-            scores = self.model.match_all(params, hg, qf_c)
-            if k != -1:
-                dist = 1.0 - lax.dot_general(
-                    qunit_c, unit_cand, (((1,), (1,)), ((), ())),
-                    precision=lax.Precision.HIGHEST)
-                allowed = _topk_mask(dist, k)
-                scores = jnp.where(allowed, scores,
-                                   -jnp.inf if mode1 else jnp.inf)
-            return lax.top_k(scores if mode1 else -scores, n_top)[1]
+        qf_p = np.zeros((q_pad, q.shape[1]), np.float32)
+        qf_p[:q.shape[0]] = q
+        if k != -1:
+            qunit_p = qf_p / np.maximum(
+                np.linalg.norm(qf_p, axis=1, keepdims=True), 1e-12)
+        else:
+            qunit_p = np.zeros((q_pad, 1), np.float32)
 
-        out = []
-        for lo in range(0, q.shape[0], self.query_chunk):
-            hi = min(lo + self.query_chunk, q.shape[0])
-            pad = self.query_chunk - (hi - lo)
-            qf_c = np.pad(q[lo:hi], ((0, pad), (0, 0)))
-            qunit_c = (qf_c / np.maximum(
-                np.linalg.norm(qf_c, axis=1, keepdims=True), 1e-12)
-                if k != -1 else np.zeros((self.query_chunk, 1), np.float32))
-            out.append(infer_chunk(self.params, hg, jax.device_put(qf_c),
-                                   jax.device_put(qunit_c)))
-        if not out:
-            return []
-        idx = np.concatenate(jax.device_get(out), axis=0)[:q.shape[0]]
+        @jax.jit
+        def infer_all(params, hg, qf_a, qunit_a):
+            # one dispatch: lax.map over query chunks (relay round trips
+            # dominate infer wall-clock, same as _rank_on_device)
+            def body(args):
+                qf_c, qunit_c = args
+                scores = self.model.match_all(params, hg, qf_c)
+                if k != -1:
+                    dist = 1.0 - lax.dot_general(
+                        qunit_c, unit_cand, (((1,), (1,)), ((), ())),
+                        precision=lax.Precision.HIGHEST)
+                    allowed = _topk_mask(dist, k)
+                    scores = jnp.where(allowed, scores,
+                                       -jnp.inf if mode1 else jnp.inf)
+                return lax.top_k(scores if mode1 else -scores, n_top)[1]
+
+            return lax.map(body, (qf_a.reshape(n_chunks, chunk, -1),
+                                  qunit_a.reshape(n_chunks, chunk, -1)))
+
+        out = infer_all(self.params, hg, jax.device_put(qf_p),
+                        jax.device_put(qunit_p))
+        idx = np.asarray(jax.device_get(out)).reshape(
+            q_pad, n_top)[:q.shape[0]]
         return [[self.candidates[i] for i in row] for row in idx]
 
 

@@ -17,6 +17,8 @@ from taxoexpan_tpu.utils import enable_compile_cache
 
 
 def main(config, args_outer):
+    import time
+    t0 = time.time()
     enable_compile_cache()
     logger = config.get_logger("test")
     need_case_study = args_outer.case != ""
@@ -30,6 +32,7 @@ def main(config, args_outer):
     test_cfg["sampling_mode"] = 0
     sampler = builders.build_sampler(taxonomy, test_cfg, "test",
                                      test_topk=args_outer.topk)
+    t_data = time.time()
 
     model = builders.build_model(config["arch"],
                                  max_parents=sampler.max_parents,
@@ -37,6 +40,7 @@ def main(config, args_outer):
     logger.info("Loading checkpoint: %s ...", config.resume)
     state = ckpt_mod.load_checkpoint(config.resume)
     params = ckpt_mod.restore_params(state, model.init(jax.random.PRNGKey(0)))
+    t_ckpt = time.time()
 
     rank_mode = 1 if config["loss"].startswith("info_nce") else 0
     encode_chunk = args_outer.batch_size if args_outer.batch_size > 0 else 4096
@@ -53,8 +57,14 @@ def main(config, args_outer):
                             sampler.node_features,
                             encode_chunk=encode_chunk, mesh=mesh)
     logger.info("Number of queries: %d", len(sampler.node_list))
+    ranker.encode_all_anchors()
+    t_encode = time.time()
     result, cases = ranker.evaluate(config["metrics"], rank_mode,
                                     case_study=need_case_study)
+    logger.info(
+        "stage timing: data+sampler %.1fs, checkpoint %.1fs, encode %.1fs, "
+        "rank %.1fs", t_data - t0, t_ckpt - t_data, t_encode - t_ckpt,
+        time.time() - t_encode)
     if need_case_study:
         with open(args_outer.case, "w") as fout:
             for row in cases:
