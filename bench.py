@@ -102,7 +102,7 @@ def make_step(model, path, optimizer, fwd_only=False):
 
 
 def time_path(path, model, params, batch, table, steps, warmup,
-              fwd_only=False):
+              fwd_only=False, scan=False):
     """Per-step time via the slope of chained step counts.
 
     On this TPU relay, block_until_ready can return before execution finishes
@@ -111,6 +111,15 @@ def time_path(path, model, params, batch, table, steps, warmup,
     chained steps (state threads through, so forcing the final scalar loss
     forces the whole chain) and divide the time DIFFERENCE by the step
     difference — constant relay/readback overhead cancels.
+
+    scan=True moves the k-step chain INSIDE the jit (lax.scan over a
+    step-index array), so each timing run is ONE dispatch regardless of k.
+    The host-chained default additionally pays one dispatch round trip per
+    step, which cancels in the slope only while the relay is healthy
+    (~3 ms/dispatch); during relay-degradation windows a dispatch ACK was
+    measured at ~6 s (scripts/relay_health.py), which would swamp the step
+    time — use --scan then (and generally: the scan number is the chip
+    truth, the default number is chip + healthy-relay dispatch overhead).
     """
     import jax
     import optax
@@ -125,19 +134,52 @@ def time_path(path, model, params, batch, table, steps, warmup,
     rng = jax.random.PRNGKey(0)
     state = {"params": params, "opt_state": opt_state, "i": 0}
 
-    def run(k):
-        t0 = time.perf_counter()
-        loss = None
-        for _ in range(k):
-            state["params"], state["opt_state"], loss = step(
-                state["params"], state["opt_state"], batch, table,
-                jax.random.fold_in(rng, state["i"]))
-            state["i"] += 1
-        forced = float(loss)  # scalar readback forces the whole chain
-        return time.perf_counter() - t0, forced
+    if scan:
+        import functools
+
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, static_argnums=(4,),
+                           donate_argnums=(0, 1))
+        def run_k(params, opt_state, batch, table, k, i0):
+            def body(carry, idx):
+                p, o, _ = carry
+                p, o, loss = step(p, o, batch, table,
+                                  jax.random.fold_in(rng, idx))
+                return (p, o, loss), None
+
+            (p, o, loss), _ = jax.lax.scan(
+                body, (params, opt_state, jnp.zeros(())),
+                i0 + jnp.arange(k, dtype=jnp.uint32))
+            return p, o, loss
+
+        def run(k):
+            t0 = time.perf_counter()
+            state["params"], state["opt_state"], loss = run_k(
+                state["params"], state["opt_state"], batch, table, k,
+                np.uint32(state["i"]))
+            state["i"] += k
+            forced = float(loss)
+            return time.perf_counter() - t0, forced
+    else:
+        def run(k):
+            t0 = time.perf_counter()
+            loss = None
+            for _ in range(k):
+                state["params"], state["opt_state"], loss = step(
+                    state["params"], state["opt_state"], batch, table,
+                    jax.random.fold_in(rng, state["i"]))
+                state["i"] += 1
+            forced = float(loss)  # scalar readback forces the whole chain
+            return time.perf_counter() - t0, forced
 
     run(max(warmup, 1))                       # compile + warm
     k_short, k_long = max(steps // 4, 1), steps
+    if scan:
+        # one compiled run_k per static k — warm BOTH before timing, or the
+        # k_long compile would land inside the timed slope
+        run(k_short)
+        run(k_long)
     t_short, _ = run(k_short)
     t_long, last_loss = run(k_long)
     dt = (t_long - t_short) / (k_long - k_short)
@@ -213,6 +255,10 @@ def main():
     p.add_argument("--fwd-only", action="store_true",
                    help="diagnostic: time the train-mode forward+loss only "
                         "(no grad/optimizer) to split fwd vs bwd cost")
+    p.add_argument("--scan", action="store_true",
+                   help="chain the timed steps inside one jit (lax.scan): "
+                        "one dispatch per timing run, immune to relay "
+                        "dispatch-latency degradation (see time_path)")
     args = p.parse_args()
 
     import jax
@@ -239,7 +285,7 @@ def main():
 
     star_dt, star_loss = time_path("star", model, params, batch, table,
                                    args.steps, args.warmup,
-                                   fwd_only=args.fwd_only)
+                                   fwd_only=args.fwd_only, scan=args.scan)
     star_eps = n_edges / star_dt
     print(f"# star: {star_dt * 1e3:.2f} ms/step, {star_eps:.3e} edges/s, "
           f"loss={star_loss:.3f}", file=sys.stderr)
@@ -269,7 +315,8 @@ def main():
     vs_baseline = 1.0
     if not args.skip_baseline:
         seg_dt, seg_loss = time_path("segment", model, params, batch, table,
-                                     args.steps, args.warmup)
+                                     args.steps, args.warmup,
+                                     scan=args.scan)
         seg_eps = n_edges / seg_dt
         print(f"# segment baseline: {seg_dt * 1e3:.2f} ms/step, "
               f"{seg_eps:.3e} edges/s, loss={seg_loss:.3f}", file=sys.stderr)
