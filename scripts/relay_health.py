@@ -30,7 +30,7 @@ def main():
 
     y = step(x)
     jax.block_until_ready(y)
-    k = 50
+    k = 10
     t0 = time.time()
     for _ in range(k):
         y = step(y)
@@ -38,6 +38,10 @@ def main():
     dt = (time.time() - t0) / k
     print(f"dispatch+exec rate: {dt * 1e3:.1f} ms/step over {k} chained "
           f"steps (healthy: <5 ms)")
+    if dt > 0.2:
+        print(f"DEGRADED — dispatch ACK ~{dt:.1f}s; do not trust "
+              "host-chained timing runs now")
+        return 1
 
     big = jnp.ones((2048, 2048))  # 16 MB f32
     jax.block_until_ready(big)
