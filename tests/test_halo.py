@@ -87,3 +87,22 @@ def test_env_flag_selects_ring(rng, monkeypatch):
     monkeypatch.setenv("TAXOEXPAN_HALO", "bogus")
     with pytest.raises(ValueError):
         _roundtrip(rng, None)
+
+
+def test_ring_full_train_step_matches_all_to_all(tmp_path, monkeypatch):
+    """End-to-end: one training epoch on the row-partitioned feature table
+    with TAXOEXPAN_HALO=ring must match the all_to_all implementation —
+    the one-command-swap guarantee for the first real-slice session
+    (VERDICT r2 #6)."""
+    from tests.test_parallel import _make_trainer
+
+    mesh = data_parallel_mesh()
+    t_a2a = _make_trainer(tmp_path / "a2a", mesh, "partitioned")
+    log_a2a = t_a2a._train_epoch(1)
+    monkeypatch.setenv("TAXOEXPAN_HALO", "ring")
+    t_ring = _make_trainer(tmp_path / "ring", mesh, "partitioned")
+    log_ring = t_ring._train_epoch(1)
+    np.testing.assert_allclose(log_ring["loss"], log_a2a["loss"], rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(t_a2a.params),
+                    jax.tree_util.tree_leaves(t_ring.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
