@@ -29,7 +29,8 @@ import numpy as np
 
 def build_workload(groups, group_size, max_parents, expand_factor, in_dim,
                    hidden_dim, out_dim, pos_dim, heads, num_nodes, seed=0,
-                   compute_dtype="bfloat16", kernel="auto"):
+                   compute_dtype="bfloat16", kernel="auto", feat_drop=0.1,
+                   attn_drop=0.1):
     import jax
     from taxoexpan_tpu.data.egobatch import EgoBatch, GroupBatch
     from taxoexpan_tpu.models import TaxoExpan
@@ -37,8 +38,8 @@ def build_workload(groups, group_size, max_parents, expand_factor, in_dim,
     rng = np.random.default_rng(seed)
     model = TaxoExpan("PGAT", "WMR", "BIM", in_dim=in_dim,
                       hidden_dim=hidden_dim, out_dim=out_dim, pos_dim=pos_dim,
-                      num_layers=1, heads=list(heads), feat_drop=0.1,
-                      attn_drop=0.1, max_parents=max_parents,
+                      num_layers=1, heads=list(heads), feat_drop=feat_drop,
+                      attn_drop=attn_drop, max_parents=max_parents,
                       expand_factor=expand_factor,
                       compute_dtype=compute_dtype, kernel=kernel)
     params = model.init(jax.random.PRNGKey(0))
@@ -255,6 +256,12 @@ def main():
     p.add_argument("--fwd-only", action="store_true",
                    help="diagnostic: time the train-mode forward+loss only "
                         "(no grad/optimizer) to split fwd vs bwd cost")
+    p.add_argument("--feat-drop", type=float, default=0.1,
+                   help="input-feature dropout rate (0 disables the fused "
+                        "in-kernel PRNG mask entirely — ablation knob)")
+    p.add_argument("--attn-drop", type=float, default=0.1,
+                   help="attention dropout rate (0 skips the per-head "
+                        "attention masks — ablation knob)")
     p.add_argument("--scan", action="store_true",
                    help="chain the timed steps inside one jit (lax.scan): "
                         "one dispatch per timing run, immune to relay "
@@ -274,7 +281,8 @@ def main():
     model, params, batch, table, n_edges = build_workload(
         args.groups, args.group_size, args.max_parents, args.expand_factor,
         args.in_dim, args.hidden_dim, args.out_dim, args.pos_dim, [4, 1],
-        args.num_nodes, compute_dtype=args.dtype, kernel=args.kernel)
+        args.num_nodes, compute_dtype=args.dtype, kernel=args.kernel,
+        feat_drop=args.feat_drop, attn_drop=args.attn_drop)
     if args.mesh_dp1:
         from taxoexpan_tpu.parallel import make_mesh
         model.propagate.spmd = (make_mesh({"dp": 1}, jax.devices()[:1]),
