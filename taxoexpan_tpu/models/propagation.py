@@ -158,6 +158,30 @@ def _fused_call_spmd(spmd, h, fc, wa1, wa2, z_ft, z_a1, z_a2, pe_pack, ngp,
     )(h, fc, wa1, wa2, z_ft, z_a1, z_a2, pe_pack, ngp, nsib, seed)
 
 
+def _gcn_call_spmd(spmd, h, w, b, z_bias, pe_pack, meta, *, p, alpha, drop,
+                   interpret, need_dx):
+    """Fused GCN kernel under SPMD: batch sharded over `axis`, weights
+    replicated (shard_map's transpose psums the per-device weight
+    cotangents — the DP gradient all-reduce), dropout seeds decorrelated
+    per batch shard. No head axis to tensor-parallelize (GCN is
+    single-head); any 'mp' mesh axis is simply unused here."""
+    from ..ops.pallas_gcn import fused_gcn_layer
+    mesh, axis = spmd
+    ngp, nsib, seed = meta
+
+    def body(h, w, b, z_bias, pe_pack, ngp, nsib, seed):
+        seed = seed + jax.lax.axis_index(axis) * jnp.int32(1_000_003)
+        return fused_gcn_layer(h, w, b, z_bias, pe_pack, (ngp, nsib, seed),
+                               p, alpha, drop, interpret, need_dx)
+
+    pe_spec = P() if pe_pack is None else (P(), P())
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), pe_spec, P(axis), P(axis), P()),
+        out_specs=P(axis), check_vma=False,
+    )(h, w, b, z_bias, pe_pack, ngp, nsib, seed)
+
+
 # ----------------------------------------------------------------- GAT layers
 
 def init_gat_layer(key, in_dim: int, out_dim: int, num_heads: int,
@@ -318,9 +342,15 @@ class GCN:
     def __init__(self, in_dim, hidden_dim, out_dim, num_layers,
                  pos_dim: int = 0, activation=leaky_relu,
                  in_dropout=0.1, hidden_dropout=0.1, output_dropout=0.0,
-                 position_vocab_size: int = 3, pos_mode: str = "bias"):
+                 position_vocab_size: int = 3, pos_mode: str = "bias",
+                 use_pallas: bool = False):
         if pos_mode not in ("bias", "concat"):
             raise ValueError(f"pos_mode must be bias|concat, got {pos_mode!r}")
+        # fused Pallas layer (ops/pallas_gcn.py) — covers pos_mode="bias"
+        # and the no-position GCN; "concat" falls back to the XLA path.
+        # Set by the factory's kernel= knob like GAT's use_pallas.
+        self.use_pallas = use_pallas
+        self.spmd = None   # (mesh, axis) — see _gcn_call_spmd
         # "bias": [h, pe] @ W decomposed as h @ W_h + pe @ W_p (exact incl.
         # train-mode dropout — see apply_gcn_layer); same param shapes as
         # "concat", so checkpoints are interchangeable between modes.
@@ -355,6 +385,7 @@ class GCN:
                 star_slot_positions(p_slots, n), dtype=jnp.int32)
         keys = jax.random.split(rng, len(self.layer_specs))
         use_bias_pos = self.pos_dim and self.pos_mode == "bias"
+        fuse = self.use_pallas and (not self.pos_dim or use_bias_pos)
         for i, (_, _, act, drop_rate) in enumerate(self.layer_specs):
             pe = None
             if self.pos_dim:
@@ -364,10 +395,52 @@ class GCN:
                         [h, jnp.broadcast_to(pe, (b, n, self.pos_dim))],
                         axis=-1)
                     pe = None
-            h = apply_gcn_layer(params["layers"][i], h, norm, ngp, nsib,
-                                p_slots, activation=act, drop_rate=drop_rate,
-                                rng=keys[i], train=train, pos_emb=pe)
+            if fuse:
+                h = self._fused_layer(params["layers"][i], h, pe, ngp, nsib,
+                                      p_slots, act, drop_rate, keys[i],
+                                      train, input_grad=i > 0)
+            else:
+                h = apply_gcn_layer(params["layers"][i], h, norm, ngp, nsib,
+                                    p_slots, activation=act,
+                                    drop_rate=drop_rate, rng=keys[i],
+                                    train=train, pos_emb=pe)
         return h
+
+    def _fused_layer(self, lp, h, pe, ngp, nsib, p_slots, act, drop_rate,
+                     key, train, input_grad):
+        """Dispatch one layer to the fused Pallas kernel
+        (ops/pallas_gcn.py), mirroring apply_gat_layer's fused-path
+        conventions: per-layer PRNG seed, interpret on CPU, position-bias
+        decomposition with exact train-mode pe dropout via pe_pack."""
+        from ..ops.pallas_gcn import fused_gcn_layer
+        seed = jax.random.randint(key, (), 0, 2_147_483_647, jnp.int32)
+        interpret = jax.default_backend() != "tpu"
+        drop = drop_rate if train else 0.0
+        w = lp["w"]
+        din_h = h.shape[-1]
+        n = h.shape[1]
+        dout = w.shape[1]
+        bvec = lp.get("b", jnp.zeros((dout,), jnp.float32))
+        pe_pack = None
+        z_bias = jnp.zeros((n, dout), jnp.float32)
+        if pe is not None:
+            w_h, w_p = w[:din_h], w[din_h:]
+            if drop > 0:
+                pe_pack = (pe.astype(jnp.float32), w_p.astype(jnp.float32))
+            else:
+                z_bias = (pe @ w_p).astype(jnp.float32)
+        else:
+            w_h = w
+        # XLA-path activation is leaky_relu(alpha=0.01) between layers
+        alpha = 0.01 if act is not None else None
+        args = (h, w_h, bvec, z_bias, pe_pack,
+                (jnp.asarray(ngp), jnp.asarray(nsib), seed))
+        kwargs = dict(p=p_slots, alpha=alpha, drop=drop,
+                      interpret=interpret, need_dx=input_grad)
+        if self.spmd is not None:
+            return _gcn_call_spmd(self.spmd, *args, **kwargs)
+        return fused_gcn_layer(*args, p_slots, alpha, drop, interpret,
+                               input_grad)
 
 
 class GAT:

@@ -79,7 +79,8 @@ class TaxoExpan:
                                  in_dropout=feat_drop,
                                  hidden_dropout=hidden_drop,
                                  output_dropout=out_drop,
-                                 pos_mode=pos_mode)
+                                 pos_mode=pos_mode,
+                                 use_pallas=use_pallas)
         else:
             if heads is None:
                 raise ValueError("GAT/PGAT require a heads list")
