@@ -163,21 +163,26 @@ class TaxonomyRanker:
 
     # ------------------------------------------------------------ phase 2
     def score(self, query_feats: np.ndarray) -> np.ndarray:
-        """[Q, D] query features -> [Q, C] scores, chunked over queries."""
+        """[Q, D] query features -> [Q, C] scores: one jit dispatch
+        (lax.map over query chunks) + one readback, like _rank_on_device."""
         hg = jax.device_put(self.encode_all_anchors())
-        out = []
         q = np.asarray(query_feats, dtype=np.float32)
-        for lo in range(0, q.shape[0], self.query_chunk):
-            chunk = q[lo:lo + self.query_chunk]
-            pad = self.query_chunk - chunk.shape[0]
-            if pad:
-                chunk = np.pad(chunk, ((0, pad), (0, 0)))
-            out.append(self._match_all_jit(self.params, hg,
-                                           jax.device_put(chunk)))
-        if not out:
+        if q.shape[0] == 0:
             return np.zeros((0, hg.shape[0]), np.float32)
-        # async dispatch above; one synchronizing readback here
-        return np.concatenate(jax.device_get(out), axis=0)[:q.shape[0]]
+        chunk = min(self.query_chunk, q.shape[0])
+        q_pad = -(-q.shape[0] // chunk) * chunk
+        qf_p = np.zeros((q_pad, q.shape[1]), np.float32)
+        qf_p[:q.shape[0]] = q
+
+        @jax.jit
+        def score_all(params, hg, qf_a):
+            return jax.lax.map(
+                lambda c: self.model.match_all(params, hg, c),
+                qf_a.reshape(q_pad // chunk, chunk, -1))
+
+        out = score_all(self.params, hg, jax.device_put(qf_p))
+        return np.asarray(jax.device_get(out)).reshape(
+            q_pad, -1)[:q.shape[0]]
 
     # ---------------------------------------------------------- evaluation
     def evaluate(self, metric_names: list[str], rank_mode: int,
