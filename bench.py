@@ -262,10 +262,14 @@ def main():
     p.add_argument("--attn-drop", type=float, default=0.1,
                    help="attention dropout rate (0 skips the per-head "
                         "attention masks — ablation knob)")
-    p.add_argument("--scan", action="store_true",
+    p.add_argument("--scan", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="chain the timed steps inside one jit (lax.scan): "
                         "one dispatch per timing run, immune to relay "
-                        "dispatch-latency degradation (see time_path)")
+                        "dispatch-latency degradation (see time_path). "
+                        "DEFAULT on so unattended BENCH runs measure the "
+                        "chip, not the relay's mood; --no-scan restores "
+                        "host-chained dispatch timing")
     args = p.parse_args()
 
     import jax
