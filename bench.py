@@ -126,7 +126,11 @@ def time_path(path, model, params, batch, table, steps, warmup,
     import optax
 
     optimizer = optax.amsgrad(1e-3)
-    params = jax.tree_util.tree_map(jax.numpy.asarray, params)
+    # COPY the params: scan mode donates its buffers into run_k, and
+    # jnp.asarray on an already-device array is a no-op — without the copy
+    # the first timed path would delete the caller's params before the
+    # baseline path reuses them
+    params = jax.tree_util.tree_map(jax.numpy.copy, params)
     opt_state = optimizer.init(params)
     batch = jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x)), batch)
