@@ -191,3 +191,21 @@ def test_cli_train_and_eval(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert (tmp_path / "case.tsv").exists()
     assert "macro_mr" in (r2.stdout + r2.stderr)
+
+    # infer.py on novel terms (TSV `term \t space-separated-embedding`)
+    taxo = synthetic_taxonomy(num_nodes=300, dim=16, seed=5)
+    novel = tmp_path / "novel.tsv"
+    with open(novel, "w") as f:
+        for i in range(5):
+            vec = " ".join(str(v) for v in taxo.features[i])
+            f.write(f"new term {i}\t{vec}\n")
+    r3 = subprocess.run(
+        [sys.executable, "infer.py", "-r", str(best), "-d", "cpu",
+         "--taxon", str(novel), "--save", str(tmp_path / "preds.tsv")],
+        cwd=repo, env=env, capture_output=True, text=True,
+        timeout=CLI_TIMEOUT)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    lines = (tmp_path / "preds.tsv").read_text().strip().splitlines()
+    assert len(lines) == 6                      # header + 5 predictions
+    assert lines[0] == "Query\tPredicted parents"
+    assert lines[1].startswith("new_term_0\t")
