@@ -18,13 +18,18 @@ that walks the ring and OWNS the overlap instead of hoping for it —
             step s+1 proceeds while step s's answer DMA drains (the wait
             on ans_send[(s+1) % 2] is the only back-pressure).
 
-The in-kernel gather is a blocked one-hot matmul: Mosaic has no arbitrary
-row gather, and per-row DMAs at ~1 us issue cost would serialize ~2n row
-fetches; a [cap, V/P] one-hot times [V/P, D] table is exact (each output row
-sums exactly one nonzero) and rides the MXU. That pins this kernel's sweet
-spot to shard sizes whose table tile fits VMEM (V/P up to ~32k rows at
-D=250 — MAG-CS whole; for MAG-Full-scale shards, block the table over an
-ANY-space resident and stream tiles, noted in docs/ROADMAP.md).
+The in-kernel gather is a one-hot matmul: Mosaic has no arbitrary row
+gather, and per-row DMAs at ~1 us issue cost would serialize ~2n row
+fetches; a [cap, V/P] one-hot times [V/P, D] table is exact (each output
+row sums exactly one nonzero) and rides the MXU. One-hot work scales as
+O(cap x V/P) MACs, which pins this kernel's sweet spot to shards whose
+table fits VMEM (V/P up to ~32k rows at D=250 — all of MAG-CS). It is
+deliberately NOT extended to stream ANY-space table tiles for
+MAG-Full-scale shards: at V/P ~ 125k rows the one-hot FLOPs alone are
+~12 ms per exchange while an XLA gather is ~0.1 ms — at that scale the
+right design is the default all_to_all path (XLA gather between the two
+collectives), whose overlap XLA schedules; this ring kernel is the
+explicit-overlap alternative for the VMEM-resident regime.
 
 Semantics match partitioned_gather's middle section exactly: input
 req [P, cap] (bucketed local-slot requests per owner), output
