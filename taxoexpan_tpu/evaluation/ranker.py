@@ -62,8 +62,11 @@ class TaxonomyRanker:
         self._encode_jit = jax.jit(
             lambda p, feats, ngp, nsib: model.encode(
                 p, feats, ngp, nsib, rng=jax.random.PRNGKey(0), train=False))
-        self._match_all_jit = jax.jit(
-            lambda p, hg, qf: model.match_all(p, hg, qf))
+        # built once so repeat score() calls reuse the trace cache (a fresh
+        # closure per call would retrace + recompile every invocation)
+        self._score_map_jit = jax.jit(
+            lambda p, hg, qf3: jax.lax.map(
+                lambda c: model.match_all(p, hg, c), qf3))
 
         def _encode_map(p, table, ids3, ngp2, nsib2):
             # [K, chunk, ...] -> [K, chunk, l_dim]: gather + encode per
@@ -173,14 +176,9 @@ class TaxonomyRanker:
         q_pad = -(-q.shape[0] // chunk) * chunk
         qf_p = np.zeros((q_pad, q.shape[1]), np.float32)
         qf_p[:q.shape[0]] = q
-
-        @jax.jit
-        def score_all(params, hg, qf_a):
-            return jax.lax.map(
-                lambda c: self.model.match_all(params, hg, c),
-                qf_a.reshape(q_pad // chunk, chunk, -1))
-
-        out = score_all(self.params, hg, jax.device_put(qf_p))
+        out = self._score_map_jit(
+            self.params, hg,
+            jax.device_put(qf_p.reshape(q_pad // chunk, chunk, -1)))
         return np.asarray(jax.device_get(out)).reshape(
             q_pad, -1)[:q.shape[0]]
 
@@ -499,8 +497,3 @@ def _topk_mask(dist, k: int):
     return lt | (eq & (cum <= (k - n_lt)[:, None]))
 
 
-def _device_batch(batch):
-    import jax.numpy as jnp
-    from ..data.egobatch import EgoBatch
-    return EgoBatch(node_ids=jnp.asarray(batch.node_ids),
-                    ngp=jnp.asarray(batch.ngp), nsib=jnp.asarray(batch.nsib))

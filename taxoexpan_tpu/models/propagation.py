@@ -385,7 +385,11 @@ class GCN:
                 star_slot_positions(p_slots, n), dtype=jnp.int32)
         keys = jax.random.split(rng, len(self.layer_specs))
         use_bias_pos = self.pos_dim and self.pos_mode == "bias"
-        fuse = self.use_pallas and (not self.pos_dim or use_bias_pos)
+        # the fused kernel implements exactly the default inter-layer
+        # activation (leaky_relu, slope 0.01); any custom callable falls
+        # back to the XLA path rather than silently changing the math
+        fuse = (self.use_pallas and (not self.pos_dim or use_bias_pos)
+                and self.activation in (None, leaky_relu))
         for i, (_, _, act, drop_rate) in enumerate(self.layer_specs):
             pe = None
             if self.pos_dim:
@@ -435,12 +439,14 @@ class GCN:
         alpha = 0.01 if act is not None else None
         args = (h, w_h, bvec, z_bias, pe_pack,
                 (jnp.asarray(ngp), jnp.asarray(nsib), seed))
-        kwargs = dict(p=p_slots, alpha=alpha, drop=drop,
-                      interpret=interpret, need_dx=input_grad)
+        # one source of truth for the trailing statics (custom_vjp nondiff
+        # args must be positional, so expand from the same dict)
+        kw = dict(p=p_slots, alpha=alpha, drop=drop, interpret=interpret,
+                  need_dx=input_grad)
         if self.spmd is not None:
-            return _gcn_call_spmd(self.spmd, *args, **kwargs)
-        return fused_gcn_layer(*args, p_slots, alpha, drop, interpret,
-                               input_grad)
+            return _gcn_call_spmd(self.spmd, *args, **kw)
+        return fused_gcn_layer(*args, kw["p"], kw["alpha"], kw["drop"],
+                               kw["interpret"], kw["need_dx"])
 
 
 class GAT:

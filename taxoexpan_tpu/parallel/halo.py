@@ -68,7 +68,7 @@ def _gather_rows(table, idx):
 
 def _ring_kernel(req_ref, table_ref, ans_ref, inbox_ref, scratch_ref,
                  req_send, req_recv, ans_send, ans_recv, self_sem,
-                 *, p, axis):
+                 bar_buf, bar_send, bar_recv, *, p, axis):
     my = jax.lax.axis_index(axis)
 
     # descriptor builders — DMA semaphores count BYTES, so every wait goes
@@ -99,6 +99,39 @@ def _ring_kernel(req_ref, table_ref, ans_ref, inbox_ref, scratch_ref,
             src_ref=scratch_ref.at[0], dst_ref=ans_ref.at[owner],
             send_sem=ans_send.at[0], recv_sem=ans_recv.at[owner],
             device_id=owner, device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+    # ---- entry barrier ----------------------------------------------------
+    # the drain below only proves THIS device's traffic landed; without a
+    # barrier a fast device could re-enter this kernel (the trainer calls
+    # ring_exchange twice per step: ego then query gather, with different
+    # cap/scratch layouts) and fire phase-0 sends into a peer still inside
+    # the PREVIOUS exchange, corrupting its live scratch. Align all devices
+    # before any RDMA.
+    # (Token RDMAs into per-sender slots rather than get_barrier_semaphore
+    # or remote semaphore_signal — neither is implemented by the interpret
+    # machinery, and tiny remote copies barrier identically while staying
+    # interpret-testable.)
+    for s in range(1, p):
+        dst = jax.lax.rem(my + s, p)
+        pltpu.make_async_remote_copy(
+            src_ref=bar_buf.at[my], dst_ref=bar_buf.at[my],
+            send_sem=bar_send.at[dst], recv_sem=bar_recv.at[my],
+            device_id=dst, device_id_type=pltpu.DeviceIdType.LOGICAL,
+        ).start()
+    for s in range(1, p):
+        src = jax.lax.rem(my - s + p, p)
+        # token from src landed in bar_buf[src]; drain my own sends too
+        pltpu.make_async_remote_copy(
+            src_ref=bar_buf.at[src], dst_ref=bar_buf.at[src],
+            send_sem=bar_send.at[src], recv_sem=bar_recv.at[src],
+            device_id=src, device_id_type=pltpu.DeviceIdType.LOGICAL,
+        ).wait_recv()
+        dst = jax.lax.rem(my + s, p)
+        pltpu.make_async_remote_copy(
+            src_ref=bar_buf.at[my], dst_ref=bar_buf.at[my],
+            send_sem=bar_send.at[dst], recv_sem=bar_recv.at[my],
+            device_id=dst, device_id_type=pltpu.DeviceIdType.LOGICAL,
+        ).wait_send()
 
     # ---- phase 0: fire every request bucket at its owner ------------------
     # per-source inbox slots (inbox[src] on the owner) make all P-1 sends
@@ -173,6 +206,9 @@ def ring_exchange(table_local: jax.Array, req: jax.Array, *, axis: str,
             pltpu.SemaphoreType.DMA((2,)),            # ans_send (by buffer)
             pltpu.SemaphoreType.DMA((p,)),            # ans_recv (by owner)
             pltpu.SemaphoreType.DMA(()),              # self-copy
+            pltpu.VMEM((p, 8), jnp.int32),            # barrier tokens
+            pltpu.SemaphoreType.DMA((p,)),            # barrier send
+            pltpu.SemaphoreType.DMA((p,)),            # barrier recv
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True,

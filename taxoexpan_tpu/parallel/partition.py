@@ -193,12 +193,13 @@ def partitioned_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
         out = rows[uslot]                                   # per request
         return out.reshape(*ids_local.shape, d)
 
-    # check_vma=False: the Pallas interpret machinery behind impl="ring"
+    # check_vma=False only for impl="ring": the Pallas interpret machinery
     # mixes varying/unvarying aval annotations that trip shard_map's vma
-    # audit (the error itself recommends this workaround); correctness is
-    # covered by the parity tests in tests/test_halo.py + test_parallel.py
+    # audit (the error itself recommends this workaround); its correctness
+    # is covered by tests/test_halo.py. The default all_to_all path keeps
+    # the audit enabled.
     return jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis, None), P(axis)),
-        out_specs=P(axis), check_vma=False,
+        out_specs=P(axis), check_vma=impl != "ring",
     )(table, ids)
