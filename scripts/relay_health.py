@@ -48,9 +48,10 @@ def main():
     t0 = time.time()
     _ = jax.device_get(big)
     dt = time.time() - t0
-    print(f"16 MB readback: {dt:.2f}s = {16 / max(dt, 1e-9):.1f} MB/s "
-          f"(healthy: >8 MB/s)")
-    ok = dt < 8
+    mbps = 16 / max(dt, 1e-9)
+    print(f"16 MB readback: {dt:.2f}s = {mbps:.1f} MB/s "
+          f"(healthy: >8 MB/s; ~25+ MB/s typical, docs/OPERATIONS.md)")
+    ok = mbps > 8
     print("HEALTHY" if ok else "DEGRADED — do not trust timing runs now")
     return 0 if ok else 1
 

@@ -68,7 +68,7 @@ def _gather_rows(table, idx):
 
 def _ring_kernel(req_ref, table_ref, ans_ref, inbox_ref, scratch_ref,
                  req_send, req_recv, ans_send, ans_recv, self_sem,
-                 bar_buf, bar_send, bar_recv, *, p, axis):
+                 bar_buf, bar_send, bar_recv, *, p, axis, interpret):
     my = jax.lax.axis_index(axis)
 
     # descriptor builders — DMA semaphores count BYTES, so every wait goes
@@ -107,31 +107,47 @@ def _ring_kernel(req_ref, table_ref, ans_ref, inbox_ref, scratch_ref,
     # cap/scratch layouts) and fire phase-0 sends into a peer still inside
     # the PREVIOUS exchange, corrupting its live scratch. Align all devices
     # before any RDMA.
-    # (Token RDMAs into per-sender slots rather than get_barrier_semaphore
-    # or remote semaphore_signal — neither is implemented by the interpret
-    # machinery, and tiny remote copies barrier identically while staying
-    # interpret-testable.)
-    for s in range(1, p):
-        dst = jax.lax.rem(my + s, p)
-        pltpu.make_async_remote_copy(
-            src_ref=bar_buf.at[my], dst_ref=bar_buf.at[my],
-            send_sem=bar_send.at[dst], recv_sem=bar_recv.at[my],
-            device_id=dst, device_id_type=pltpu.DeviceIdType.LOGICAL,
-        ).start()
-    for s in range(1, p):
-        src = jax.lax.rem(my - s + p, p)
-        # token from src landed in bar_buf[src]; drain my own sends too
-        pltpu.make_async_remote_copy(
-            src_ref=bar_buf.at[src], dst_ref=bar_buf.at[src],
-            send_sem=bar_send.at[src], recv_sem=bar_recv.at[src],
-            device_id=src, device_id_type=pltpu.DeviceIdType.LOGICAL,
-        ).wait_recv()
-        dst = jax.lax.rem(my + s, p)
-        pltpu.make_async_remote_copy(
-            src_ref=bar_buf.at[my], dst_ref=bar_buf.at[my],
-            send_sem=bar_send.at[dst], recv_sem=bar_recv.at[my],
-            device_id=dst, device_id_type=pltpu.DeviceIdType.LOGICAL,
-        ).wait_send()
+    if not interpret:
+        # Compiled path: the REGULAR barrier semaphore keyed by collective_id
+        # (pallas_call compiler_params). Unlike the token-RDMA barrier below,
+        # it has no per-invocation scratch state, so a fast device re-entering
+        # the kernel cannot corrupt a peer still inside the previous
+        # invocation — its signals simply accumulate on the shared semaphore.
+        barrier_sem = pltpu.get_barrier_semaphore()
+        for s in range(1, p):
+            dst = jax.lax.rem(my + s, p)
+            pltpu.semaphore_signal(
+                barrier_sem, inc=1, device_id=dst,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(barrier_sem, p - 1)
+    else:
+        # Interpret-mode fallback: token RDMAs into per-sender slots.
+        # get_barrier_semaphore / remote semaphore_signal are not implemented
+        # by the interpret machinery; tiny remote copies barrier equivalently
+        # for the single-invocation tests (the cross-invocation hazard the
+        # compiled path fixes cannot occur under interpret's lockstep
+        # emulation).
+        for s in range(1, p):
+            dst = jax.lax.rem(my + s, p)
+            pltpu.make_async_remote_copy(
+                src_ref=bar_buf.at[my], dst_ref=bar_buf.at[my],
+                send_sem=bar_send.at[dst], recv_sem=bar_recv.at[my],
+                device_id=dst, device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).start()
+        for s in range(1, p):
+            src = jax.lax.rem(my - s + p, p)
+            # token from src landed in bar_buf[src]; drain my own sends too
+            pltpu.make_async_remote_copy(
+                src_ref=bar_buf.at[src], dst_ref=bar_buf.at[src],
+                send_sem=bar_send.at[src], recv_sem=bar_recv.at[src],
+                device_id=src, device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).wait_recv()
+            dst = jax.lax.rem(my + s, p)
+            pltpu.make_async_remote_copy(
+                src_ref=bar_buf.at[my], dst_ref=bar_buf.at[my],
+                send_sem=bar_send.at[dst], recv_sem=bar_recv.at[my],
+                device_id=dst, device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).wait_send()
 
     # ---- phase 0: fire every request bucket at its owner ------------------
     # per-source inbox slots (inbox[src] on the owner) make all P-1 sends
@@ -188,7 +204,8 @@ def ring_exchange(table_local: jax.Array, req: jax.Array, *, axis: str,
     d = table_local.shape[1]
     if p == 1:   # degenerate mesh: pure local gather
         return _gather_rows(table_local, req[0]).reshape(1, cap, d)
-    kernel = functools.partial(_ring_kernel, p=p, axis=axis)
+    kernel = functools.partial(_ring_kernel, p=p, axis=axis,
+                               interpret=interpret)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((p, cap, d), jnp.float32,

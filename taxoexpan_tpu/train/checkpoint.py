@@ -9,6 +9,7 @@ device-agnostic); structure is re-bound to the live optimizer state on load.
 from __future__ import annotations
 
 import logging
+import os
 import pickle
 from pathlib import Path
 
@@ -35,8 +36,17 @@ def save_checkpoint(path: str | Path, *, params, opt_state, epoch: int,
         "scheduler": scheduler_state or {},
         "config": config,
     }
-    with open(path, "wb") as fout:
+    # Atomic write: the trainer writes checkpoints (incl. model_best.ckpt)
+    # from a background thread; a crash mid-write must never leave a
+    # previously-good checkpoint truncated. Write a sibling tmp file and
+    # os.replace() it into place (atomic on POSIX within one filesystem).
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as fout:
         pickle.dump(state, fout, pickle.HIGHEST_PROTOCOL)
+        fout.flush()
+        os.fsync(fout.fileno())
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str | Path) -> dict:

@@ -44,6 +44,48 @@ def test_sharded_eval_matches_single():
                                res_single["mrr_scaled_10"], rtol=1e-5)
 
 
+def test_sharded_encode_hg_matches_single():
+    """The unified one-dispatch encode path: mesh and single-device rankers
+    must produce the same [C, l_dim] anchor embeddings."""
+    taxo = synthetic_taxonomy(num_nodes=300, dim=16, seed=9)
+    sampler = builders.build_sampler(taxo, CFG, "test")
+    model = builders.build_model(ARCH, max_parents=sampler.max_parents,
+                                 expand_factor=sampler.expand_factor)
+    params = model.init(jax.random.PRNGKey(0))
+
+    single = TaxonomyRanker(model, params, sampler, sampler.node_features,
+                            encode_chunk=64, query_chunk=16)
+    hg_single = np.asarray(jax.device_get(single.encode_all_anchors()))
+    mesh = data_parallel_mesh()
+    sharded = TaxonomyRanker(model, params, sampler, sampler.node_features,
+                             encode_chunk=64, query_chunk=16, mesh=mesh)
+    hg_sharded = np.asarray(jax.device_get(sharded.encode_all_anchors()))
+    np.testing.assert_allclose(hg_sharded, hg_single, rtol=1e-5, atol=1e-6)
+
+
+def test_repeat_evaluate_does_not_retrace():
+    """evaluate()/predict_parents() reuse the hoisted jits — a second call
+    must not grow the trace cache (each retrace through the relay costs a
+    multi-second recompile round trip)."""
+    taxo = synthetic_taxonomy(num_nodes=300, dim=16, seed=9)
+    sampler = builders.build_sampler(taxo, CFG, "test")
+    model = builders.build_model(ARCH, max_parents=sampler.max_parents,
+                                 expand_factor=sampler.expand_factor)
+    params = model.init(jax.random.PRNGKey(0))
+    ranker = TaxonomyRanker(model, params, sampler, sampler.node_features,
+                            encode_chunk=64, query_chunk=16)
+    ranker.evaluate(["macro_mr"], 1)
+    n_rank = ranker._rank_all_jit._cache_size()
+    ranker.evaluate(["macro_mr"], 1)
+    assert ranker._rank_all_jit._cache_size() == n_rank
+    rng = np.random.default_rng(3)
+    nf = rng.normal(size=(16, 16)).astype(np.float32)
+    ranker.predict_parents(nf, 1, topk=5)
+    n_inf = ranker._infer_all_jit._cache_size()
+    ranker.predict_parents(nf, 1, topk=5)
+    assert ranker._infer_all_jit._cache_size() == n_inf
+
+
 def test_sharded_predict_parents_matches_single():
     """infer.py --mesh path: sharded anchor encoding must give the same
     top-k parent predictions as the single-device ranker."""
