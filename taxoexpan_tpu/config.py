@@ -47,6 +47,7 @@ class ConfigParser:
             args.add_argument(*opt.flags, default=None, type=opt.type)
         if not isinstance(args, tuple):
             args = args.parse_args()
+        self.args = args  # parsed CLI namespace (distributed flags etc.)
 
         self.resume = None
         if getattr(args, "device", None):

@@ -171,6 +171,7 @@ class Trainer:
             # propagation._fused_call_spmd
             model.propagate.spmd = (mesh, "dp")
         if mesh is not None:
+            from ..parallel.distributed import put_global_tree
             self.replicated = NamedSharding(mesh, P())
             self.batch_sharding = NamedSharding(mesh, P("dp"))
             if feature_mode == "partitioned":
@@ -178,17 +179,20 @@ class Trainer:
                 self.feature_table = shard_table(
                     np.asarray(feature_table), mesh, "dp")
             else:
-                self.feature_table = jax.device_put(feature_table,
-                                                    self.replicated)
-            self.params = jax.device_put(self.params, self.replicated)
-            self.opt_state = jax.device_put(self.opt_state, self.replicated)
+                self.feature_table = put_global_tree(
+                    np.asarray(feature_table), self.replicated)
+            # put_global_tree == device_put single-process; multi-process it
+            # assembles global arrays from each process's local shards
+            # (params are built identically on every process — same seed)
+            self.params = put_global_tree(self.params, self.replicated)
+            self.opt_state = put_global_tree(self.opt_state, self.replicated)
         else:
             self.replicated = None
             self.batch_sharding = None
             self.feature_table = jnp.asarray(feature_table)
         # staging target for the single-device path: committing batches to an
         # explicit device in the feed thread keeps H2D off the dispatch path
-        self._device = jax.devices()[0]
+        self._device = jax.local_devices()[0]
 
     # ----------------------------------------------------------- jitted steps
     def _gather_partitioned(self, batch, feature_table):
@@ -269,7 +273,13 @@ class Trainer:
         return train_step
 
     def _build_eval(self):
-        @jax.jit
+        # replicated output: every process must be able to read the scores
+        # back locally (a 'dp'-sharded output is not fully addressable under
+        # multi-process)
+        out = {"out_shardings": self.replicated} \
+            if self.replicated is not None else {}
+
+        @partial(jax.jit, **out)
         def eval_scores_all(params, batches, feature_table):
             # ONE dispatch per validation epoch: the per-batch loop rides
             # lax.map inside the jit (batches stacked on the leading axis),
@@ -285,9 +295,17 @@ class Trainer:
         return eval_scores_all
 
     def _put_batch(self, batch):
+        """Stage a HOST-GLOBAL batch onto the mesh (or the single device).
+
+        Multi-process: every process runs the same deterministic sampler, so
+        the host batch is identical everywhere; put_global carves out the
+        rows each process's local devices own (a plain device_put to a
+        mesh-spanning sharding would fail — a process cannot write remote
+        shards)."""
+        from ..parallel.distributed import put_global
         target = self.batch_sharding or self._device
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(np.asarray(x), target), batch)
+            lambda x: put_global(np.asarray(x), target), batch)
 
     def _valid_sharding(self):
         """Sharding for the STACKED [K, ...] validation pytree: the batch
@@ -385,10 +403,11 @@ class Trainer:
         n_batches = len(host_batches)
         if n_batches == 0:
             return {"val_metrics": totals.tolist()}
+        from ..parallel.distributed import put_global
         stacked = jax.tree_util.tree_map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]), *host_batches)
         dev_stack = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, self._valid_sharding()), stacked)
+            lambda x: put_global(x, self._valid_sharding()), stacked)
         scores_all = np.asarray(jax.device_get(
             self._eval_fn(self.params, dev_stack, self.feature_table)))
         host = [(b.labels, b.cand_mask) for b in host_batches]
@@ -492,6 +511,11 @@ class Trainer:
         if save_best:
             self.logger.info("Saving current best: model_best.ckpt ...")
 
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-process: every process runs the device-side copy above
+            # (SPMD program order must match), only process 0 touches disk
+            return
+
         def write():
             ckpt_mod.save_checkpoint(path, params=params,
                                      opt_state=opt_state, epoch=epoch,
@@ -524,8 +548,9 @@ class Trainer:
             state, params_template=self.params,
             opt_state_template=self.opt_state, config=self.config)
         if self.mesh is not None:
-            self.params = jax.device_put(self.params, self.replicated)
-            self.opt_state = jax.device_put(self.opt_state, self.replicated)
+            from ..parallel.distributed import put_global_tree
+            self.params = put_global_tree(self.params, self.replicated)
+            self.opt_state = put_global_tree(self.opt_state, self.replicated)
         self.start_epoch = state["epoch"] + 1
         self.mnt_best = state["monitor_best"]
         if self.lr_scheduler is not None and state.get("scheduler"):

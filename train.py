@@ -20,6 +20,13 @@ from taxoexpan_tpu.utils import enable_compile_cache
 
 
 def main(config):
+    # multi-process (multi-host) runtime — must come before the first device
+    # query; no-op unless --coordinator/--num_processes (or the
+    # TAXOEXPAN_COORDINATOR/NUM_PROCESSES/PROCESS_ID env vars) request it
+    from taxoexpan_tpu.parallel import maybe_initialize
+    maybe_initialize(getattr(config.args, "coordinator", None),
+                     getattr(config.args, "num_processes", None),
+                     getattr(config.args, "process_id", None))
     enable_compile_cache()
     logger = config.get_logger(
         "train", config["trainer"].get("verbosity", 2))
@@ -121,6 +128,13 @@ if __name__ == "__main__":
                       help="jax platform to use (cpu | tpu)")
     args.add_argument("-s", "--suffix", default="", type=str,
                       help="suffix indicating this run")
+    # multi-process (multi-host) execution — see parallel/distributed.py
+    args.add_argument("--coordinator", default=None, type=str,
+                      help="distributed coordinator address host:port")
+    args.add_argument("--num_processes", default=None, type=int,
+                      help="total process count for multi-host training")
+    args.add_argument("--process_id", default=None, type=int,
+                      help="this process's index in [0, num_processes)")
     options = [
         # Data loader (self-supervision generation) — train.py:60-68
         CustomArg(["--train_data"], type=str,
