@@ -6,6 +6,11 @@ learnable stand-in for smoke tests and benchmarks.
 
     python scripts/make_synthetic_dataset.py --out data/synth.pickle.bin \
         --nodes 2000 --dim 64
+
+--v2 selects the DISCRIMINATIVE generator (synthetic_taxonomy_v2): rotated
+ancestor cores make cosine-to-parent retrieval fail by construction while
+the structural signal stays learnable — the benchmark on which trained
+models must beat the trivial baselines (tests/test_model_quality.py).
 """
 import argparse
 import os
@@ -13,7 +18,8 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from taxoexpan_tpu.data.synthetic import synthetic_taxonomy  # noqa: E402
+from taxoexpan_tpu.data.synthetic import (synthetic_taxonomy,  # noqa: E402
+                                          synthetic_taxonomy_v2)
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
@@ -25,10 +31,15 @@ if __name__ == "__main__":
                    help="per-edge feature drift; higher = less"
                         " trivially-informative embeddings")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--v2", action="store_true",
+                   help="discriminative benchmark generator "
+                        "(synthetic_taxonomy_v2); --noise becomes the "
+                        "unit-norm SNR knob (try 0.5-1.5)")
     args = p.parse_args()
-    taxo = synthetic_taxonomy(num_nodes=args.nodes, dim=args.dim,
-                              max_children=args.max_children, noise=args.noise,
-                              seed=args.seed)
+    gen = synthetic_taxonomy_v2 if args.v2 else synthetic_taxonomy
+    taxo = gen(num_nodes=args.nodes, dim=args.dim,
+               max_children=args.max_children, noise=args.noise,
+               seed=args.seed)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     taxo.save(args.out)
     print(f"wrote {args.out}: {taxo.num_nodes} nodes, {taxo.num_edges} edges, "

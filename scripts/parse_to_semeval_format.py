@@ -1,35 +1,48 @@
 #!/usr/bin/env python
 """Convert a case-study TSV (from test_fast.py --case) to the SemEval-2016
-Task 14 submission format (reference: scripts/parse_to_semeval_format.py).
+Task 14 submission format (reference: scripts/parse_to_semeval_format.py —
+output is byte-identical, golden-tested in tests/test_scripts.py).
 
 Case-study vocab entries look like "lemma.pos.id@@@node_id" (wordnet) under a
-"test.<id>" prefix; the submission row is "<id>\t<lemma>#<pos>#<id>\tattach".
+"test.<id>" prefix; the submission row is "<id>\t<lemma>#<pos>#<id>\tattach"
+followed by the reference's trailing tab (its output line is a tab-join that
+includes the newline, so every row ends "attach\t\n" — kept verbatim for
+submission-file parity).
 """
+from __future__ import annotations
+
 import argparse
+from typing import Iterable, Iterator
 
 
-def parse_string(s: str) -> str:
-    # vocab entries are "name@@@node_id"; the reference additionally strips a
-    # "word||" display prefix when present (parse_to_semeval_format.py:8)
-    if "||" in s:
-        s = s.split("||")[1]
-    return s.split("@@@")[0]
+def vocab_name(entry: str) -> str:
+    """'name@@@node_id' -> 'name', dropping an optional 'word||' display
+    prefix (wordnet vocab decoration)."""
+    _, _, tail = entry.partition("||")
+    name = tail if tail else entry
+    return name.partition("@@@")[0]
+
+
+def submission_rows(tsv_lines: Iterable[str]) -> Iterator[str]:
+    """Yield SemEval submission rows (without line terminators) from
+    case-study TSV lines. Column 0 = query ('test.<id>'), column 2 =
+    comma-separated predicted parents, best first."""
+    rows = iter(tsv_lines)
+    next(rows, None)  # header
+    for raw in rows:
+        if not raw.strip():
+            continue
+        cols = raw.rstrip("\n").split("\t")
+        query_id = vocab_name(cols[0]).removeprefix("test.")
+        top1 = vocab_name(cols[2].split(", ")[0])
+        lemma, pos, synset_num = top1.split(".")
+        yield f"{query_id}\t{lemma}#{pos}#{int(synset_num)}\tattach"
 
 
 def main(input_path: str, output_path: str) -> None:
-    with open(input_path, "r") as fin, open(output_path, "w") as fout:
-        for lid, line in enumerate(fin):
-            if lid == 0:  # header row
-                continue
-            line = line.strip()
-            if not line:
-                continue
-            segs = line.split("\t")
-            test_id = parse_string(segs[0])[len("test."):]
-            predict_id = parse_string(segs[2].split(", ")[0])
-            lemma, pos, tmp_id = predict_id.split(".")
-            predict_id = "#".join([lemma, pos, str(int(tmp_id))])
-            fout.write("\t".join([test_id, predict_id, "attach", "\n"]))
+    with open(input_path) as fin, open(output_path, "w") as fout:
+        for row in submission_rows(fin):
+            fout.write(row + "\t\n")
 
 
 if __name__ == "__main__":

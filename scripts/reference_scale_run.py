@@ -46,17 +46,28 @@ def main():
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--device", default=None,
                    help="jax platform override (default: real TPU)")
+    p.add_argument("--v2", action="store_true",
+                   help="use the discriminative v2 synthetic benchmark "
+                        "(cosine-to-parent is NOT an oracle; the trained "
+                        "model is expected to WIN the baseline table)")
+    p.add_argument("--noise", type=float, default=None,
+                   help="generator noise override")
     args = p.parse_args()
 
     art = os.path.join(REPO, "artifacts")
     os.makedirs(art, exist_ok=True)
-    data = os.path.join(REPO, "data", "synth_mag_cs.pickle.bin")
+    data = os.path.join(
+        REPO, "data",
+        "synth_mag_cs_v2.pickle.bin" if args.v2 else
+        "synth_mag_cs.pickle.bin")
+    noise = args.noise if args.noise is not None else 1.0
 
     # 1. dataset with MAG-CS statistics (30k nodes, bushy DAG, 250-d feats)
     if not os.path.exists(data):
         run([sys.executable, "scripts/make_synthetic_dataset.py", "--out",
              data, "--nodes", str(args.nodes), "--dim", str(args.dim),
-             "--max_children", "40", "--seed", "42", "--noise", "1.0"])
+             "--max_children", "40", "--seed", "42", "--noise", str(noise)]
+            + (["--v2"] if args.v2 else []))
 
     # 2. config: the mag shape on the synthetic data, production dtype/kernel
     cfg = json.load(open(os.path.join(REPO, "configs/config.mag.json")))
@@ -100,11 +111,22 @@ def main():
         print("WARNING: warm-eval metrics differ from cold-eval metrics",
               file=sys.stderr)
 
-    # 5. simple_parent baseline on the same data for context
+    # 5. baselines on the same data: the quality table the trained model
+    #    must top (VERDICT r4 #1) — simple_parent (cosine retrieval) plus
+    #    the learned simple_MLP family (pair and DeepSet variants), run on
+    #    CPU (per-step host loops are relay-hostile and these models are
+    #    tiny)
     r_base, _ = run([sys.executable, "-m",
                      "taxoexpan_tpu.baselines.simple_parent", "--data",
                      data], timeout=1800)
-    baseline = r_base.stdout.strip().splitlines()[-6:]
+    baseline = r_base.stdout.strip().splitlines()[-8:]
+    mlp_blocks = []
+    for kind in ("MLP", "DeepSetMLP"):
+        r_mlp, _ = run([sys.executable, "-m",
+                        "taxoexpan_tpu.baselines.simple_mlp", "--data",
+                        data, "--model", kind, "--epochs", "5",
+                        "--device", "cpu"], timeout=3600)
+        mlp_blocks.append((kind, r_mlp.stdout.strip().splitlines()[-8:]))
 
     # 6. throughput + epoch-time breakdown lines from the trainer log
     epochs_run = len(re.findall(r"\bloss\s*:", log)) or "?"
@@ -118,12 +140,16 @@ def main():
                  re.findall(r"checkpoint_s\s*:\s*([\d.e+]+)", log)]
 
     with open(os.path.join(art, "MAG_SCALE_RUN.md"), "w") as f:
-        f.write("# Reference-scale training artifact (synthetic MAG-CS)\n\n")
+        f.write("# Reference-scale training artifact (synthetic MAG-CS"
+                + (", v2 discriminative benchmark" if args.v2 else "")
+                + ")\n\n")
         f.write(f"Generated by `scripts/reference_scale_run.py` on device "
                 f"`{args.device or 'tpu (axon)'}`.\n\n")
         f.write(f"- dataset: {args.nodes} nodes, dim {args.dim}, "
-                f"max_children 40, noise 1.0, seed 42 "
-                f"(synthetic_taxonomy)\n")
+                f"max_children 40, noise {noise}, seed 42 "
+                + ("(synthetic_taxonomy_v2 — cosine-to-parent broken by "
+                   "construction)" if args.v2 else "(synthetic_taxonomy)")
+                + "\n")
         f.write(f"- config: {cfg_path} (config.mag.json shape, bf16, "
                 f"kernel=auto)\n")
         f.write(f"- training wall-clock: {t_train:.0f} s "
@@ -154,8 +180,12 @@ def main():
                     if i < len(ckpt_secs) else ""
                 f.write(f"epoch {i + 1}:{es} {t}{cs}\n")
             f.write("```\n")
-        f.write("\n## simple_parent baseline on the same data\n\n```\n"
+        f.write("\n## Baselines on the same data\n\n### simple_parent "
+                "(cosine retrieval)\n\n```\n"
                 + "\n".join(baseline) + "\n```\n")
+        for kind, lines_b in mlp_blocks:
+            f.write(f"\n### simple_MLP:{kind} (5 epochs, cpu)\n\n```\n"
+                    + "\n".join(lines_b) + "\n```\n")
         f.write(f"\n## case study\n\n`{os.path.basename(case_tsv)}` "
                 f"(query, true parents, predicted top-10, rank), format of "
                 f"the reference's case_studies TSV.\n")

@@ -242,7 +242,12 @@ if __name__ == "__main__":
                    choices=["MLP", "DeepSetMLP", "DeepAPGMLP"])
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--device", default=None,
+                   help="jax platform (cpu recommended: the per-batch host "
+                        "loop is relay-hostile on the tunneled TPU)")
     args = p.parse_args()
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     b = SimpleMLPBaseline(Taxonomy.load(args.data), model=args.model,
                           lr=args.lr)
     b.train(epochs=args.epochs)

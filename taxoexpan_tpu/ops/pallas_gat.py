@@ -87,7 +87,11 @@ def _gen_masks(seed, tile_idx, tb, n, din, p, s, h_heads, feat_drop,
                 bits = pltpu.prng_random_bits((shape[0] // 4, shape[1]))
                 b8 = pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32),
                                    jnp.uint8)
-                keep = b8 < jnp.uint8(t8)
+                # compare in i32: v5e's VPU has no 8-bit compare (Mosaic:
+                # "Target does not support this comparison"); the zero-
+                # extend is one supported cast and the PRNG-word saving is
+                # what this lever is about
+                keep = b8.astype(jnp.int32) < t8
                 return keep.astype(jnp.float32) * (256.0 / t8)
             scale = 1.0 / (1.0 - rate)
             thresh = np.uint32(int((1.0 - rate) * 4294967296.0) & 0xFFFFFFFF)
@@ -156,6 +160,107 @@ def _tile_attention(a1, a2, ngp, p, s, alpha, drop_masks, h):
                 w_gp=w_gp, gp_mask=gp_mask)
 
 
+def _fake_attention_for_timing(tb, p, s, ngp):
+    """TAXOEXPAN_BWD_FAKE_ATTN=1 — MEASUREMENT-ONLY (wrong grads): stand-in
+    constants with the exact shapes `_tile_attention` produces, used to
+    bound what the attn_drop=0 store-instead-of-recompute backward lever
+    (docs/ROADMAP.md) could save: the delta of a bench run with this flag
+    vs without is an UPPER bound (a real implementation additionally pays
+    the HBM read of the stored [B, ~2N]-per-head weights)."""
+    gp_mask = jax.lax.broadcasted_iota(jnp.int32, (tb, p), 1) < ngp
+    c = lambda sh, v: jnp.full(sh, v, jnp.float32)  # noqa: E731
+    return dict(sm_gp2a=c((tb, p), 0.25), sm_selfa=c((tb, 1), 0.25),
+                sm_s0=c((tb, s), 0.5), sm_s1=c((tb, s), 0.5),
+                w_gp2a=c((tb, p), 0.25), w_selfa=c((tb, 1), 0.25),
+                w_s0=c((tb, s), 0.5), w_s1=c((tb, s), 0.5),
+                w_gp=c((tb, p), 1.0), gp_mask=gp_mask)
+
+
+def _bwd_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h, tb):
+    """Backward-pass attention RECOMPUTE (the fallback when no stored
+    weights are available), or the timing stand-in when
+    TAXOEXPAN_BWD_FAKE_ATTN=1 (see above)."""
+    import os
+    if os.environ.get("TAXOEXPAN_BWD_FAKE_ATTN") == "1":
+        return _fake_attention_for_timing(tb, p, s, ngp)
+    return _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
+
+
+# -------------------------------------------- stored-attention fwd residuals
+#
+# MEASURED AND REJECTED as the default (round 4, real v5e, scan timing):
+# the TAXOEXPAN_BWD_FAKE_ATTN probe suggested the backward's softmax
+# recompute costs ~2.8 ms/step (40.10 -> 37.34 at attn_drop=0), so this
+# path stores the forward's raw softmax weights ([B, H*K_pad] f32, 128-
+# lane-aligned segments) and reloads them in the backward. On hardware it
+# is SLOWER than the recompute in both regimes:
+#     attn_drop=0.1:  41.50 ms (recompute) -> 45.97 packed / 46.08 aligned
+#     attn_drop=0.0:  40.10 ms (recompute) -> 43.61 aligned
+# i.e. the fake-attn delta was dependency-chain relief (constants let
+# Mosaic schedule dft immediately), not softmax arithmetic — replacing the
+# recompute with HBM loads re-introduces the dependency plus DMA waits.
+# Kept as an opt-in (TAXOEXPAN_STORED_ATTN=1) because it is semantically
+# exact (grads bit-identical, tests/test_pallas_gat.py) and other
+# shapes/hardware may land differently; see docs/PERFORMANCE.md round 4.
+
+def _use_stored_attn() -> bool:
+    import os
+    return os.environ.get("TAXOEXPAN_STORED_ATTN", "0") == "1"
+
+
+def _attn_segments(p: int, s: int):
+    """128-lane-ALIGNED segment offsets of the four stored arrays within a
+    head's row: every slice starts on a lane-tile boundary (a store/load at
+    an interior lane offset like base+P forces Mosaic into lane
+    shuffle/read-modify-write sequences — the first, packed layout measured
+    4.5 ms SLOWER than the recompute it replaced)."""
+    seg_gp = -(-p // 128) * 128
+    seg_self = 128
+    seg_s = -(-s // 128) * 128
+    offs = (0, seg_gp, seg_gp + seg_self, seg_gp + seg_self + seg_s)
+    return offs, seg_gp + seg_self + 2 * seg_s
+
+
+def _attn_k_pad(p: int, s: int) -> int:
+    """Per-head stride of the stored-attention row (aligned segments)."""
+    return _attn_segments(p, s)[1]
+
+
+def _store_attn(attn_ref, at, h, k_pad, p, s):
+    (o_gp, o_self, o_s0, o_s1), _ = _attn_segments(p, s)
+    base = h * k_pad
+    attn_ref[:, base + o_gp:base + o_gp + p] = at["sm_gp2a"]
+    attn_ref[:, base + o_self:base + o_self + 1] = at["sm_selfa"]
+    attn_ref[:, base + o_s0:base + o_s0 + s] = at["sm_s0"]
+    attn_ref[:, base + o_s1:base + o_s1 + s] = at["sm_s1"]
+
+
+def _attn_from_stored(attn_ref, h, k_pad, tb, p, s, ngp, drop_masks):
+    """Rebuild `_tile_attention`'s output dict from the stored forward
+    softmax weights + the replayed dropout masks — bit-identical to the
+    recompute (the stored values ARE the forward's)."""
+    (o_gp, o_self, o_s0, o_s1), _ = _attn_segments(p, s)
+    base = h * k_pad
+    sm_gp2a = attn_ref[:, base + o_gp:base + o_gp + p]
+    sm_selfa = attn_ref[:, base + o_self:base + o_self + 1]
+    sm_s0 = attn_ref[:, base + o_s0:base + o_s0 + s]
+    sm_s1 = attn_ref[:, base + o_s1:base + o_s1 + s]
+    gp_mask = jax.lax.broadcasted_iota(jnp.int32, (tb, p), 1) < ngp
+    w_gp = jnp.ones((tb, p), jnp.float32)
+    if drop_masks is not None:
+        d_gp2a, d_selfa, d_s0, d_s1, d_gp = drop_masks[h]
+        w_gp2a = sm_gp2a * d_gp2a
+        w_selfa = sm_selfa * d_selfa
+        w_s0 = sm_s0 * d_s0
+        w_s1 = sm_s1 * d_s1
+        w_gp = w_gp * d_gp
+    else:
+        w_gp2a, w_selfa, w_s0, w_s1 = sm_gp2a, sm_selfa, sm_s0, sm_s1
+    return dict(sm_gp2a=sm_gp2a, sm_selfa=sm_selfa, sm_s0=sm_s0,
+                sm_s1=sm_s1, w_gp2a=w_gp2a, w_selfa=w_selfa, w_s0=w_s0,
+                w_s1=w_s1, w_gp=w_gp, gp_mask=gp_mask)
+
+
 def _common_prologue(x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb,
                      n, seed, p, s, heads, feat_drop, attn_drop, interpret,
                      pe_refs=None):
@@ -208,13 +313,18 @@ def _common_prologue(x_ref, w_ref, wa1_ref, wa2_ref, ngp_ref, nsib_ref, tb,
 def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                 ba1_ref, ba2_ref, ngp_ref, nsib_ref,
                 *rest, p, s, heads, dh, alpha, attn_drop, feat_drop,
-                out_alpha, interpret, pe_drop=False):
+                out_alpha, interpret, pe_drop=False, save_attn=False):
     if pe_drop:   # (pe, wp, wpa1, wpa2) extra inputs — see fused_gat_layer
         pe_refs = rest[:4]
-        (out_ref,) = rest[4:]
+        rest = rest[4:]
     else:
         pe_refs = None
+    if save_attn:   # extra output: stored softmax weights for the backward
+        out_ref, attn_ref = rest
+    else:
         (out_ref,) = rest
+        attn_ref = None
+    k_pad = _attn_k_pad(p, s)
     tb = x_ref.shape[0]
     n = p + 1 + s
     (tile, x, ft, a1, a2, ngp, nsib, _feat_mask,
@@ -232,6 +342,8 @@ def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         a2h = (a2[:, h:h + 1].reshape(tb, n) +
                ba2_ref[:, h:h + 1].reshape(1, n))
         at = _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
+        if attn_ref is not None:
+            _store_attn(attn_ref, at, h, k_pad, p, s)
         ft_gp = fth[:, :p]                                     # [TB, P, Dh]
         ft_anchor = fth[:, p:p + 1]                            # [TB, 1, Dh]
         ft_sib = fth[:, p + 1:]                                # [TB, S, Dh]
@@ -258,7 +370,7 @@ def _fwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
 def _fwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                      ba1_ref, ba2_ref, ngp_ref, nsib_ref,
                      *rest, p, s, heads, dh, alpha, attn_drop, feat_drop,
-                     interpret, pe_drop=False):
+                     interpret, pe_drop=False, save_attn=False):
     """Final-layer variant that fuses the head mean + per-position-class
     readout pools: instead of the [TB, N, H*Dh] slot outputs it writes
     pools [TB, 3, Dh] = (sum over valid gp slots, anchor, sum over valid
@@ -267,10 +379,15 @@ def _fwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
     [B, N, H*Dh] HBM round-trip of the final layer + XLA readout pass."""
     if pe_drop:
         pe_refs = rest[:4]
-        (out_ref,) = rest[4:]
+        rest = rest[4:]
     else:
         pe_refs = None
+    if save_attn:
+        out_ref, attn_ref = rest
+    else:
         (out_ref,) = rest
+        attn_ref = None
+    k_pad = _attn_k_pad(p, s)
     tb = x_ref.shape[0]
     n = p + 1 + s
     (tile, x, ft, a1, a2, ngp, nsib, _feat_mask,
@@ -292,6 +409,8 @@ def _fwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         a2h = (a2[:, h:h + 1].reshape(tb, n) +
                ba2_ref[:, h:h + 1].reshape(1, n))
         at = _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
+        if attn_ref is not None:
+            _store_attn(attn_ref, at, h, k_pad, p, s)
         ft_gp = fth[:, :p]
         ft_anchor = fth[:, p:p + 1]
         ft_sib = fth[:, p + 1:]
@@ -386,7 +505,8 @@ def _bwd_head_core(at, a1h, a2h, ft_gp, ft_anchor, ft_sib, g_gp, g_anchor,
 def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                 ba1_ref, ba2_ref, ngp_ref, nsib_ref,
                 *rest, p, s, heads, dh, alpha, attn_drop, feat_drop,
-                out_alpha, interpret, pe_drop=False, need_dx=True):
+                out_alpha, interpret, pe_drop=False, need_dx=True,
+                stored_attn=False):
     if pe_drop:
         pe_refs = rest[:4]
         rest = rest[4:]
@@ -394,6 +514,11 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         pe_refs = None
     g_ref = rest[0]
     rest = rest[1:]
+    if stored_attn:   # forward softmax weights — skip the recompute
+        attn_ref, rest = rest[0], rest[1:]
+    else:
+        attn_ref = None
+    k_pad = _attn_k_pad(p, s)
     if need_dx:
         dx_ref, rest = rest[0], rest[1:]
     else:
@@ -437,7 +562,12 @@ def _bwd_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         a2h = (a2[:, h:h + 1].reshape(tb, n) +
                ba2_ref[:, h:h + 1].reshape(1, n))
         gh = g_ref[:, :, h * dh:(h + 1) * dh].astype(jnp.float32)
-        at = _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
+        if attn_ref is not None:
+            at = _attn_from_stored(attn_ref, h, k_pad, tb, p, s, ngp,
+                                   drop_masks)
+        else:
+            at = _bwd_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h,
+                                tb)
 
         ft_gp = fth[:, :p]
         ft_anchor = fth[:, p:p + 1]
@@ -548,7 +678,8 @@ def _bwd_epilogue(x, feat_mask, w_ref, wa1_ref, wa2_ref, dft_buf, da1_buf,
 def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                      ba1_ref, ba2_ref, ngp_ref, nsib_ref,
                      *rest, p, s, heads, dh, alpha, attn_drop, feat_drop,
-                     interpret, pe_drop=False, need_dx=True):
+                     interpret, pe_drop=False, need_dx=True,
+                     stored_attn=False):
     """Backward of _fwd_pool_kernel: g_ref holds d(pools) [TB, 3, Dh]; the
     per-slot incoming grads are its class rows broadcast over valid slots,
     scaled by the 1/heads of the fused head mean."""
@@ -559,6 +690,11 @@ def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
         pe_refs = None
     g_ref = rest[0]
     rest = rest[1:]
+    if stored_attn:   # forward softmax weights — skip the recompute
+        attn_ref, rest = rest[0], rest[1:]
+    else:
+        attn_ref = None
+    k_pad = _attn_k_pad(p, s)
     if need_dx:
         dx_ref, rest = rest[0], rest[1:]
     else:
@@ -605,7 +741,12 @@ def _bwd_pool_kernel(seed_ref, x_ref, w_ref, wa1_ref, wa2_ref, bft_ref,
                ba1_ref[:, h:h + 1].reshape(1, n))
         a2h = (a2[:, h:h + 1].reshape(tb, n) +
                ba2_ref[:, h:h + 1].reshape(1, n))
-        at = _tile_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h)
+        if attn_ref is not None:
+            at = _attn_from_stored(attn_ref, h, k_pad, tb, p, s, ngp,
+                                   drop_masks)
+        else:
+            at = _bwd_attention(a1h, a2h, ngp, p, s, alpha, drop_masks, h,
+                                tb)
         ft_gp = fth[:, :p]
         ft_anchor = fth[:, p:p + 1]
         ft_sib = fth[:, p + 1:]
@@ -755,7 +896,8 @@ def _prep_pe_pack(pe_pack, pad, heads, feat_drop):
 
 
 def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
-               heads, alpha, attn_drop, feat_drop, out_alpha, interpret):
+               heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
+               save_attn=False):
     ngp, nsib, seed = meta
     b, n_orig, din = x.shape
     pad = _slot_pad(n_orig)
@@ -770,13 +912,23 @@ def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
     s = n - p - 1
     tb = _pick_tile(b, n, din, hd)
     grid = (b // tb,)
+    k_pad = _attn_k_pad(p, s)
     pe_padded, pe_specs, pe_operands = _prep_pe_pack(pe_pack, pad, heads,
                                                      feat_drop)
     kernel = functools.partial(_fwd_kernel, p=p, s=s, heads=heads, dh=dh,
                                alpha=alpha, attn_drop=attn_drop,
                                feat_drop=feat_drop, out_alpha=out_alpha,
                                interpret=interpret,
-                               pe_drop=pe_pack is not None)
+                               pe_drop=pe_pack is not None,
+                               save_attn=save_attn)
+    out_specs = pl.BlockSpec((tb, n, hd), lambda i, *_: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b, n, hd), x.dtype)
+    if save_attn:
+        out_specs = (out_specs,
+                     pl.BlockSpec((tb, heads * k_pad),
+                                  lambda i, *_: (i, 0)))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, heads * k_pad), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -793,9 +945,9 @@ def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
             ] + pe_specs,
-            out_specs=pl.BlockSpec((tb, n, hd), lambda i, *_: (i, 0, 0)),
+            out_specs=out_specs,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n, hd), x.dtype),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
@@ -803,9 +955,13 @@ def _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
       nsib.reshape(b, 1).astype(jnp.int32), *pe_operands)
+    attn = None
+    if save_attn:
+        out, attn = out
     if pad:
         out = out[:, :n_orig]
-    return out, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded, meta)
+    return out, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded,
+                 meta, attn)
 
 
 def _pe_grad_specs_shapes(pe_padded, heads):
@@ -833,7 +989,8 @@ def _pe_grad_specs_shapes(pe_padded, heads):
 def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
                need_dx, residuals, g):
     # residual x / biases / pe are already slot-padded by _fused_fwd
-    x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded, meta = residuals
+    (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded, meta,
+     attn) = residuals
     ngp, nsib, seed = meta
     b, n, din = x.shape
     n_orig = g.shape[1]
@@ -845,6 +1002,7 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
     s = n - p - 1
     tb = _pick_tile(b, n, din, hd, factor=2)
     grid = (b // tb,)
+    k_pad = _attn_k_pad(p, s)
     pe_specs = []
     pe_operands = []
     if pe_padded is not None:
@@ -856,12 +1014,16 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
         ]
         pe_operands = list(pe_padded)
     pe_out_specs, pe_out_shapes = _pe_grad_specs_shapes(pe_padded, heads)
+    attn_specs = ([pl.BlockSpec((tb, heads * k_pad), lambda i, *_: (i, 0))]
+                  if attn is not None else [])
+    attn_operands = [attn] if attn is not None else []
     kernel = functools.partial(_bwd_kernel, p=p, s=s, heads=heads, dh=dh,
                                alpha=alpha, attn_drop=attn_drop,
                                feat_drop=feat_drop, out_alpha=out_alpha,
                                interpret=interpret,
                                pe_drop=pe_padded is not None,
-                               need_dx=need_dx)
+                               need_dx=need_dx,
+                               stored_attn=attn is not None)
     dx_specs = ([pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0))]
                 if need_dx else [])
     dx_shapes = ([jax.ShapeDtypeStruct((b, n, din), x.dtype)]
@@ -883,7 +1045,7 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
             ] + pe_specs + [
                 pl.BlockSpec((tb, n, hd), lambda i, *_: (i, 0, 0)),
-            ],
+            ] + attn_specs,
             out_specs=dx_specs + [
                 pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
@@ -912,7 +1074,8 @@ def _fused_bwd(p, heads, alpha, attn_drop, feat_drop, out_alpha, interpret,
       bias_ft.astype(jnp.float32), bias_a1.astype(jnp.float32),
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
-      nsib.reshape(b, 1).astype(jnp.int32), *pe_operands, g)
+      nsib.reshape(b, 1).astype(jnp.int32), *pe_operands, g,
+      *attn_operands)
     if need_dx:
         dx, results = results[0], results[1:]
     else:
@@ -955,7 +1118,8 @@ def fused_gat_layer_pooled(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2,
 
 
 def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
-                      meta, p, heads, alpha, attn_drop, feat_drop, interpret):
+                      meta, p, heads, alpha, attn_drop, feat_drop, interpret,
+                      save_attn=False):
     ngp, nsib, seed = meta
     b, n_orig, din = x.shape
     pad = _slot_pad(n_orig)
@@ -970,12 +1134,22 @@ def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
     s = n - p - 1
     tb = _pick_tile(b, n, din, hd)
     grid = (b // tb,)
+    k_pad = _attn_k_pad(p, s)
     pe_padded, pe_specs, pe_operands = _prep_pe_pack(pe_pack, pad, heads,
                                                      feat_drop)
     kernel = functools.partial(_fwd_pool_kernel, p=p, s=s, heads=heads, dh=dh,
                                alpha=alpha, attn_drop=attn_drop,
                                feat_drop=feat_drop, interpret=interpret,
-                               pe_drop=pe_pack is not None)
+                               pe_drop=pe_pack is not None,
+                               save_attn=save_attn)
+    out_specs = pl.BlockSpec((tb, 3, dh), lambda i, *_: (i, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((b, 3, dh), jnp.float32)
+    if save_attn:
+        out_specs = (out_specs,
+                     pl.BlockSpec((tb, heads * k_pad),
+                                  lambda i, *_: (i, 0)))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, heads * k_pad), jnp.float32))
     pools = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -992,9 +1166,9 @@ def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
             ] + pe_specs,
-            out_specs=pl.BlockSpec((tb, 3, dh), lambda i, *_: (i, 0, 0)),
+            out_specs=out_specs,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 3, dh), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=_compiler_params(interpret),
     )(jnp.asarray([seed], jnp.int32), x, fc, wa1, wa2,
@@ -1002,15 +1176,18 @@ def _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack,
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
       nsib.reshape(b, 1).astype(jnp.int32), *pe_operands)
+    attn = None
+    if save_attn:
+        pools, attn = pools
     return pools, (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded,
-                   meta, n_orig)
+                   meta, n_orig, attn)
 
 
 def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
                       need_dx, residuals, g):
     # residual x / biases / pe are already slot-padded by _fused_pooled_fwd
     (x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_padded, meta,
-     n_orig) = residuals
+     n_orig, attn) = residuals
     ngp, nsib, seed = meta
     b, n, din = x.shape
     hd = fc.shape[1]
@@ -1018,6 +1195,7 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
     s = n - p - 1
     tb = _pick_tile(b, n, din, hd, factor=2)
     grid = (b // tb,)
+    k_pad = _attn_k_pad(p, s)
     pe_specs = []
     pe_operands = []
     if pe_padded is not None:
@@ -1029,11 +1207,15 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
         ]
         pe_operands = list(pe_padded)
     pe_out_specs, pe_out_shapes = _pe_grad_specs_shapes(pe_padded, heads)
+    attn_specs = ([pl.BlockSpec((tb, heads * k_pad), lambda i, *_: (i, 0))]
+                  if attn is not None else [])
+    attn_operands = [attn] if attn is not None else []
     kernel = functools.partial(_bwd_pool_kernel, p=p, s=s, heads=heads, dh=dh,
                                alpha=alpha, attn_drop=attn_drop,
                                feat_drop=feat_drop, interpret=interpret,
                                pe_drop=pe_padded is not None,
-                               need_dx=need_dx)
+                               need_dx=need_dx,
+                               stored_attn=attn is not None)
     dx_specs = ([pl.BlockSpec((tb, n, din), lambda i, *_: (i, 0, 0))]
                 if need_dx else [])
     dx_shapes = ([jax.ShapeDtypeStruct((b, n, din), x.dtype)]
@@ -1055,7 +1237,7 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
                 pl.BlockSpec((b, 1), lambda i, *_: (0, 0)),
             ] + pe_specs + [
                 pl.BlockSpec((tb, 3, dh), lambda i, *_: (i, 0, 0)),
-            ],
+            ] + attn_specs,
             out_specs=dx_specs + [
                 pl.BlockSpec((din, hd), lambda i, *_: (0, 0)),
                 pl.BlockSpec((din, heads), lambda i, *_: (0, 0)),
@@ -1085,7 +1267,7 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
       bias_a2.astype(jnp.float32),
       ngp.reshape(b, 1).astype(jnp.int32),
       nsib.reshape(b, 1).astype(jnp.int32), *pe_operands,
-      g.astype(jnp.float32))
+      g.astype(jnp.float32), *attn_operands)
     if need_dx:
         dx, results = results[0], results[1:]
     else:
@@ -1108,12 +1290,18 @@ def _fused_pooled_bwd(p, heads, alpha, attn_drop, feat_drop, interpret,
             dpe_pack, None)
 
 
+# Differentiated path: with TAXOEXPAN_STORED_ATTN=1 (opt-in — measured
+# slower at the MAG bench shape, see the stored-attention section above)
+# the forward additionally stores its softmax weights so the backward skips
+# the attention recompute. The PRIMAL calls inside fused_gat_layer/-pooled
+# keep save_attn=False — inference never pays the extra write.
 fused_gat_layer_pooled.defvjp(
     lambda x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta, p,
     heads, alpha, attn_drop, feat_drop, interpret, need_dx:
         _fused_pooled_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2,
                           pe_pack, meta, p, heads, alpha, attn_drop,
-                          feat_drop, interpret),
+                          feat_drop, interpret,
+                          save_attn=_use_stored_attn()),
     _fused_pooled_bwd)
 
 
@@ -1122,5 +1310,5 @@ fused_gat_layer.defvjp(
     heads, alpha, attn_drop, feat_drop, out_alpha, interpret, need_dx:
         _fused_fwd(x, fc, wa1, wa2, bias_ft, bias_a1, bias_a2, pe_pack, meta,
                    p, heads, alpha, attn_drop, feat_drop, out_alpha,
-                   interpret),
+                   interpret, save_attn=_use_stored_attn()),
     _fused_bwd)

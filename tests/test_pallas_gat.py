@@ -119,3 +119,31 @@ def test_fused_dropout_and_activation_gradcheck(rng):
         ana = g[i, j, k]
         np.testing.assert_allclose(float(ana), float(num), rtol=5e-2,
                                    atol=5e-3)
+
+
+def test_stored_attn_grads_match_recompute(rng, monkeypatch):
+    """The stored-attention backward (default) must produce the same grads
+    as the round-3 recompute backward (TAXOEXPAN_STORED_ATTN=0), with
+    dropout ON so the mask-replay composition is covered too."""
+    x, fc, al, ar, ngp, nsib = make_inputs(rng)
+
+    def loss(args, seed):
+        x_, fc_ = args
+        wa1 = jnp.einsum("ihd,hd->ih", fc_.reshape(DIN, HEADS, DH), al)
+        wa2 = jnp.einsum("ihd,hd->ih", fc_.reshape(DIN, HEADS, DH), ar)
+        z_ft = jnp.zeros((N, HEADS * DH), jnp.float32)
+        z_a = jnp.zeros((N, HEADS), jnp.float32)
+        out = fused_gat_layer(x_, fc_, wa1, wa2, z_ft, z_a, z_a, None,
+                              (ngp, nsib, seed), P, HEADS, 0.2, 0.3, 0.2,
+                              None, True)
+        return (out ** 2).sum()
+
+    monkeypatch.setenv("TAXOEXPAN_STORED_ATTN", "0")
+    v0, g0 = jax.value_and_grad(loss)((x, fc), 7)
+    monkeypatch.setenv("TAXOEXPAN_STORED_ATTN", "1")
+    v1, g1 = jax.value_and_grad(loss)((x, fc), 7)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
