@@ -21,6 +21,7 @@ import numpy as np
 
 from .. import metrics as metrics_mod
 from ..data.sampler import MaskedGraphSampler
+from ..parallel.distributed import put_global
 
 logger = logging.getLogger(__name__)
 
@@ -71,9 +72,13 @@ class TaxonomyRanker:
         # evaluate()/score()/predict_parents() calls reuse the trace cache —
         # a fresh closure per call would retrace + recompile every
         # invocation (each recompile is a multi-second relay round trip).
+        # mesh outputs come back replicated: every process must be able to
+        # read results locally under multi-process execution
+        out_rep = {"out_shardings": self._replicated} \
+            if self._replicated is not None else {}
         self._score_map_jit = jax.jit(
             lambda p, hg, qf3: jax.lax.map(
-                lambda c: model.match_all(p, hg, c), qf3))
+                lambda c: model.match_all(p, hg, c), qf3), **out_rep)
 
         def _encode_map(p, table, ids3, ngp2, nsib2):
             # [K, chunk, ...] -> [K, chunk, l_dim]: gather + encode per
@@ -99,10 +104,21 @@ class TaxonomyRanker:
             out_shardings=self._replicated if mesh is not None else None)
         self._rank_all_jit = jax.jit(
             self._rank_all_impl,
-            static_argnames=("k", "mode1", "n_top"))
+            static_argnames=("k", "mode1", "n_top"), **out_rep)
         self._infer_all_jit = jax.jit(
             self._infer_all_impl,
-            static_argnames=("k", "mode1", "n_top"))
+            static_argnames=("k", "mode1", "n_top"), **out_rep)
+
+
+    def _dev(self, x):
+        """hg is already a (possibly multi-process global) device array —
+        re-device_put would fail on non-addressable shards; host arrays go
+        up replicated on the mesh path."""
+        if isinstance(x, jax.Array):
+            return x
+        if self._replicated is not None:
+            return put_global(x, self._replicated)
+        return jax.device_put(x)
 
     def _round_chunk(self, chunk: int) -> int:
         """Round a per-call query chunk up to a multiple of the mesh's 'dp'
@@ -156,9 +172,14 @@ class TaxonomyRanker:
         ngp2 = ngp.reshape(-1, chunk)
         nsib2 = nsib.reshape(-1, chunk)
         if self._chunk_shard is not None:
-            put = lambda x: jax.device_put(x, self._chunk_shard)  # noqa: E731
-            table = jax.device_put(self.feature_table, self._replicated)
-            params = jax.device_put(self.params, self._replicated)
+            # put_global == device_put single-process; under multi-process
+            # it assembles global arrays from each process's local shards
+            # (the host-side anchor egonets are replicated — every process
+            # runs the same sampler, parallel/distributed.py)
+            put = lambda x: put_global(x, self._chunk_shard)  # noqa: E731
+            table = put_global(self.feature_table, self._replicated)
+            params = jax.tree_util.tree_map(
+                lambda x: put_global(x, self._replicated), self.params)
         else:
             put = jax.numpy.asarray
             table = jax.device_put(self.feature_table)
@@ -179,7 +200,7 @@ class TaxonomyRanker:
     def score(self, query_feats: np.ndarray) -> np.ndarray:
         """[Q, D] query features -> [Q, C] scores: one jit dispatch
         (lax.map over query chunks) + one readback, like _rank_on_device."""
-        hg = jax.device_put(self.encode_all_anchors())
+        hg = self._dev(self.encode_all_anchors())
         q = np.asarray(query_feats, dtype=np.float32)
         if q.shape[0] == 0:
             return np.zeros((0, hg.shape[0]), np.float32)
@@ -187,9 +208,10 @@ class TaxonomyRanker:
         q_pad = -(-q.shape[0] // chunk) * chunk
         qf_p = np.zeros((q_pad, q.shape[1]), np.float32)
         qf_p[:q.shape[0]] = q
-        out = self._score_map_jit(
-            self.params, hg,
-            jax.device_put(qf_p.reshape(q_pad // chunk, chunk, -1)))
+        qf3 = qf_p.reshape(q_pad // chunk, chunk, -1)
+        qf3 = put_global(qf3, self._chunk_shard) \
+            if self._chunk_shard is not None else jax.device_put(qf3)
+        out = self._score_map_jit(self.params, hg, qf3)
         return np.asarray(jax.device_get(out)).reshape(
             q_pad, -1)[:q.shape[0]]
 
@@ -332,10 +354,10 @@ class TaxonomyRanker:
         q_pad = -(-max(q_total, 1) // chunk) * chunk
         n_chunks = q_pad // chunk
 
-        hg = jax.device_put(self.encode_all_anchors())
+        hg = self._dev(self.encode_all_anchors())
         if k != -1:
             # the exact normalized table sampler.eval_negatives ranks with
-            unit_cand = jax.device_put(s._unit_features[
+            unit_cand = self._dev(s._unit_features[
                 np.asarray(self.candidates, dtype=np.int64)])
         else:
             unit_cand = None
@@ -351,14 +373,14 @@ class TaxonomyRanker:
             qunit_p = np.zeros((q_pad, 1), np.float32)
 
         # chunk-inner query axis sharded over 'dp' on the mesh path
-        put3 = (lambda x: jax.device_put(x, self._chunk_shard)) \
+        put3 = (lambda x: put_global(x, self._chunk_shard)) \
             if self._chunk_shard is not None else jax.device_put
         r, t = self._rank_all_jit(
             self.params, hg, unit_cand,
             put3(qf_p.reshape(n_chunks, chunk, -1)),
             put3(qunit_p.reshape(n_chunks, chunk, -1)),
             put3(pos_p.reshape(n_chunks, chunk, -1)),
-            jax.device_put(mask_pairs[0]), jax.device_put(mask_pairs[1]),
+            self._dev(mask_pairs[0]), self._dev(mask_pairs[1]),
             k=k, mode1=mode1, n_top=n_top)
         ranks = np.asarray(jax.device_get(r)).reshape(
             q_pad, max_pos)[:q_total]
@@ -463,12 +485,12 @@ class TaxonomyRanker:
         q_pad = -(-q.shape[0] // chunk) * chunk
         n_chunks = q_pad // chunk
 
-        hg = jax.device_put(self.encode_all_anchors())
+        hg = self._dev(self.encode_all_anchors())
         if k != -1:
             cand = self.feature_table[np.asarray(self.candidates)]
             cn = cand / np.maximum(
                 np.linalg.norm(cand, axis=1, keepdims=True), 1e-12)
-            unit_cand = jax.device_put(cn)
+            unit_cand = self._dev(cn)
         else:
             unit_cand = None
 
@@ -480,7 +502,7 @@ class TaxonomyRanker:
         else:
             qunit_p = np.zeros((q_pad, 1), np.float32)
 
-        put3 = (lambda x: jax.device_put(x, self._chunk_shard)) \
+        put3 = (lambda x: put_global(x, self._chunk_shard)) \
             if self._chunk_shard is not None else jax.device_put
         out = self._infer_all_jit(
             self.params, hg, unit_cand,

@@ -90,8 +90,21 @@ def main():
                       save_dir=args.save_dir or "/tmp/mp_worker_unused")
     print(f"[{args.pid}] trainer built, starting train", flush=True)
     log = trainer.train()
+
+    # sharded evaluation under the same (possibly multi-process) mesh —
+    # exercises the ranker's put_global encode/rank path
+    from taxoexpan_tpu.evaluation import TaxonomyRanker
+    tcfg = dict(vcfg)
+    tcfg["max_parents"] = sampler.max_parents
+    tsampler = builders.build_sampler(taxo, tcfg, "test")
+    ranker = TaxonomyRanker(model, trainer.params, tsampler,
+                            tsampler.node_features, encode_chunk=64,
+                            query_chunk=16, mesh=mesh)
+    res, _ = ranker.evaluate(["macro_mr", "hit_at_1", "mrr_scaled_10"], 1)
+
     out = {"pid": args.pid, "loss": log["loss"],
-           "val_metrics": log.get("val_metrics", [])}
+           "val_metrics": log.get("val_metrics", []),
+           "eval": {k: float(v) for k, v in res.items()}}
     with open(args.out, "w") as f:
         json.dump(out, f)
     print("WORKER_DONE", json.dumps(out), flush=True)

@@ -95,6 +95,12 @@ def test_two_process_training_matches_single(tmp_path):
     np.testing.assert_allclose(r0["loss"], rs["loss"], rtol=1e-5)
     np.testing.assert_allclose(r0["val_metrics"], rs["val_metrics"],
                                rtol=1e-4, atol=1e-6)
+    # sharded evaluation (ranker encode + rank under the mesh) agrees
+    # across ranks and with single-process
+    assert r0["eval"] == r1["eval"]
+    for key in r0["eval"]:
+        np.testing.assert_allclose(r0["eval"][key], rs["eval"][key],
+                                   rtol=1e-4, atol=1e-6)
 
     # checkpoints: written by process 0 only, crash-consistent names
     ckpts = sorted(p.name for p in ckpt_dir.glob("*.ckpt"))
