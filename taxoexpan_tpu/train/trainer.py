@@ -282,15 +282,21 @@ class Trainer:
         @partial(jax.jit, **out)
         def eval_scores_all(params, batches, feature_table):
             # ONE dispatch per validation epoch: the per-batch loop rides
-            # lax.map inside the jit (batches stacked on the leading axis),
-            # mirroring evaluation/ranker._rank_on_device. The previous
-            # eager per-batch dispatch loop made validation the biggest
-            # epoch line item after the sync readback (~3 s of a ~13.6 s
-            # MAG-scale epoch; VERDICT r3 weak #3).
+            # lax.map inside the jit, mirroring evaluation/ranker
+            # ._rank_on_device. The previous eager per-batch dispatch loop
+            # made validation the biggest epoch line item after the sync
+            # readback (~3 s of a ~13.6 s MAG-scale epoch; VERDICT r3 weak
+            # #3). `batches` is a TUPLE of device batches stacked here ON
+            # DEVICE: stacking on host and uploading the whole epoch in one
+            # transfer serialized ~100 MB behind the dispatch (measured
+            # valid_s 7 s); per-batch device_puts ride the feed thread
+            # overlapped with host sampling instead.
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *batches)
             return jax.lax.map(
                 lambda b: self._model_forward(params, b, feature_table,
                                               jax.random.PRNGKey(0), False),
-                batches)
+                stacked)
 
         return eval_scores_all
 
@@ -307,12 +313,6 @@ class Trainer:
         return jax.tree_util.tree_map(
             lambda x: put_global(np.asarray(x), target), batch)
 
-    def _valid_sharding(self):
-        """Sharding for the STACKED [K, ...] validation pytree: the batch
-        axis moves to position 1, so 'dp' shards axis 1 (group axis)."""
-        if self.mesh is None:
-            return self._device
-        return NamedSharding(self.mesh, P(None, "dp"))
 
     # ----------------------------------------------------------------- epochs
     def _train_epoch(self, epoch: int) -> dict:
@@ -396,21 +396,22 @@ class Trainer:
         if self._eval_fn is None:
             self._eval_fn = self._build_eval()
         totals = np.zeros(len(self.metric_fns))
-        # collect + stack all validation batches (fixed shapes — the loader
-        # pads the final batch), upload once, score in ONE jit dispatch,
+        # stage every batch on device as it is sampled (feed-thread overlap,
+        # fixed shapes — the loader pads the final batch), then score the
+        # whole epoch in ONE jit dispatch (device-side stack + lax.map) and
         # read all scores back in one transfer
-        host_batches = list(self.valid_loader)
-        n_batches = len(host_batches)
+        host = []
+        dev_batches = []
+        for batch, dev_batch, _ne, _ee in _DeviceFeed(self.valid_loader,
+                                                      self._put_batch):
+            host.append((batch.labels, batch.cand_mask))
+            dev_batches.append(dev_batch)
+        n_batches = len(host)
         if n_batches == 0:
             return {"val_metrics": totals.tolist()}
-        from ..parallel.distributed import put_global
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: np.stack([np.asarray(x) for x in xs]), *host_batches)
-        dev_stack = jax.tree_util.tree_map(
-            lambda x: put_global(x, self._valid_sharding()), stacked)
         scores_all = np.asarray(jax.device_get(
-            self._eval_fn(self.params, dev_stack, self.feature_table)))
-        host = [(b.labels, b.cand_mask) for b in host_batches]
+            self._eval_fn(self.params, tuple(dev_batches),
+                          self.feature_table)))
         for batch_idx, (scores, (labels, cand_mask)) in enumerate(
                 zip(scores_all, host)):
             all_ranks = metrics_mod.ranks_from_groups(
