@@ -48,11 +48,13 @@ class GroupBatchLoader:
         self.rng = random.Random(seed)
         self.prefetch = prefetch
 
-        # native C++ fast path for the training layout (sampling_mode 1)
+        # native C++ fast path: training layout (sampling_mode 1) and the
+        # validation layout (sampling_mode 0 — positives per parent +
+        # at-most-k negatives)
         self.native = None
         if backend not in ("auto", "native", "python"):
             raise ValueError(f"unknown loader backend {backend!r}")
-        if backend in ("auto", "native") and sampler.sampling_mode == 1:
+        if backend in ("auto", "native"):
             try:
                 from ..native import NativeSampler
                 if NativeSampler.available():
@@ -76,8 +78,12 @@ class GroupBatchLoader:
         g, c = self.batch_size, self.group_size
         n = s.max_parents + 1 + s.expand_factor
         q = np.asarray(queries, dtype=np.int32)
-        node_ids, ngp, nsib, labels, cand_mask = \
-            self.native.sample_train_batch(q)
+        if s.sampling_mode == 1:
+            node_ids, ngp, nsib, labels, cand_mask = \
+                self.native.sample_train_batch(q)
+        else:
+            node_ids, ngp, nsib, labels, cand_mask = \
+                self.native.sample_eval_batch(q)
         if len(queries) < g:  # pad the final batch with empty groups
             pad_rows = (g - len(queries)) * c
             node_ids = np.vstack([node_ids,

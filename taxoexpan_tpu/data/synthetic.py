@@ -110,6 +110,12 @@ def synthetic_taxonomy_v2(num_nodes: int = 2000,
     Held-out val/test leaves are chosen only among parents that keep >= 2
     other children, so the sibling evidence exists for every query (the
     same guarantee real MAG-CS leaf splits give with 40+ children/parent).
+
+    `noise` is a unit-norm SNR dial (measured round 4): at 2k nodes/dim 64,
+    noise 0.5 -> trained PGAT hit@1 0.99 (saturated); noise 2.0 + w_own 0.3
+    -> hit@1 0.08 after 20 epochs (hard). The MAG-scale artifact uses noise
+    1.0 at 30k nodes/max_children 40 -> hit@1 0.88 over 27k candidates
+    while cosine retrieval scores 0.0 (artifacts/MAG_SCALE_RUN.md).
     """
     rng = np.random.default_rng(seed)
 

@@ -59,6 +59,11 @@ def get_lib():
     lib.te_sample_train_batch.argtypes = [
         ctypes.c_void_p, i32p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p, f32p, u8p]
+    lib.te_sample_eval_batch.restype = ctypes.c_int32
+    lib.te_sample_eval_batch.argtypes = [
+        ctypes.c_void_p, i32p, ctypes.c_int32, i32p, i32p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p,
+        f32p, u8p]
     lib.te_build_anchor_egonets.restype = ctypes.c_int32
     lib.te_build_anchor_egonets.argtypes = [
         ctypes.c_void_p, i32p, ctypes.c_int32, ctypes.c_int32,
@@ -127,6 +132,40 @@ class NativeSampler:
             node_ids, ngp, nsib, labels, mask)
         if rc != 0:
             raise RuntimeError(f"native sampler failed with code {rc}")
+        return (node_ids, ngp, nsib, labels.reshape(g, c),
+                mask.reshape(g, c).astype(bool))
+
+    def sample_eval_batch(self, query_ids: np.ndarray):
+        """Fill a full validation [G, max_pos+ns] group batch (sampling_mode
+        0 layout: one positive per parent in the leading columns, at-most-k
+        negatives after max_pos); same return contract as
+        sample_train_batch."""
+        s = self.py
+        g = len(query_ids)
+        c = s.max_query_parents + s.negative_size
+        n = s.max_parents + 1 + s.expand_factor
+        node_ids = np.zeros((g * c, n), np.int32)
+        ngp = np.zeros((g * c,), np.int32)
+        nsib = np.zeros((g * c,), np.int32)
+        labels = np.zeros((g * c,), np.float32)
+        mask = np.zeros((g * c,), np.uint8)
+        # true parents from the FULL taxonomy (validation queries are
+        # held-out leaves — their edges are not in the working-graph CSR)
+        max_pos = s.max_query_parents
+        parent_list = np.zeros((g, max_pos), np.int32)
+        parent_counts = np.zeros((g,), np.int32)
+        for i, q in enumerate(np.asarray(query_ids)):
+            ps = s.node2parents[int(q)]
+            parent_counts[i] = len(ps)
+            parent_list[i, :len(ps)] = ps
+        rc = self.lib.te_sample_eval_batch(
+            self.handle, np.ascontiguousarray(query_ids, np.int32),
+            np.int32(g), np.ascontiguousarray(parent_list),
+            np.ascontiguousarray(parent_counts), np.int32(s.negative_size),
+            np.int32(max_pos), np.int32(s.expand_factor),
+            np.int32(s.max_parents), node_ids, ngp, nsib, labels, mask)
+        if rc != 0:
+            raise RuntimeError(f"native eval sampler failed with code {rc}")
         return (node_ids, ngp, nsib, labels.reshape(g, c),
                 mask.reshape(g, c).astype(bool))
 

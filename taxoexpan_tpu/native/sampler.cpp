@@ -234,6 +234,109 @@ int32_t te_sample_train_batch(void* handle, const int32_t* query_ids,
   return 0;
 }
 
+namespace {
+
+// at-most-k negatives: one k-wide queue window filtered by masks; advance
+// (with wrap + reshuffle) until the window yields anything
+// (dataset.py:340-355 — the validation-layout counterpart of the exactly-k
+// walk above)
+void sample_at_most_k(Sampler* s, int32_t query, int32_t k,
+                      std::vector<int32_t>* out) {
+  if (s->pointer == 0)
+    std::shuffle(s->queue.begin(), s->queue.end(), s->rng);
+  const int64_t qsize = static_cast<int64_t>(s->queue.size());
+  while (true) {
+    out->clear();
+    int64_t end = std::min<int64_t>(s->pointer + k, qsize);
+    for (int64_t i = s->pointer; i < end; ++i) {
+      int32_t cand = s->queue[i];
+      if (!s->masked(query, cand)) out->push_back(cand);
+    }
+    if (!out->empty()) break;
+    s->pointer += k;
+    if (s->pointer >= qsize) {
+      s->pointer = 0;
+      std::shuffle(s->queue.begin(), s->queue.end(), s->rng);
+    }
+  }
+  s->pointer += k;
+  if (s->pointer >= qsize) s->pointer = 0;
+}
+
+}  // namespace
+
+// Sample a full validation GroupBatch (sampling_mode 0): for each query, one
+// positive egonet per TRUE PARENT in the leading columns (labels 1), then
+// at-most-negative_size negatives (labels 0); unused columns stay empty
+// (cand_mask 0) — the layout of data/loader.py:_build_batch for
+// mode 0 / dataset.py:304-307,340-355. C = max_pos + negative_size.
+// parent_list/parent_counts carry each query's TRUE parents ([G, max_pos]
+// row-major + [G]): validation queries are held-out leaves whose edges are
+// NOT in the working-graph CSR (node2parents comes from the full taxonomy).
+// Returns 0 on success, -1 for a parentless query, -2 when a query has more
+// parents than max_pos.
+int32_t te_sample_eval_batch(void* handle, const int32_t* query_ids,
+                             int32_t num_queries, const int32_t* parent_list,
+                             const int32_t* parent_counts,
+                             int32_t negative_size,
+                             int32_t max_pos, int32_t expand_factor,
+                             int32_t max_parents, int32_t* node_ids,
+                             int32_t* ngp, int32_t* nsib, float* labels,
+                             uint8_t* cand_mask) {
+  auto* s = static_cast<Sampler*>(handle);
+  const int32_t c = max_pos + negative_size;
+  const int32_t n = max_parents + 1 + expand_factor;
+  std::vector<int32_t> negs, gps, sibs;
+  // zero the whole batch first: empty columns must be empty egonets
+  std::memset(node_ids, 0,
+              sizeof(int32_t) * static_cast<int64_t>(num_queries) * c * n);
+  std::memset(ngp, 0, sizeof(int32_t) * static_cast<int64_t>(num_queries) * c);
+  std::memset(nsib, 0,
+              sizeof(int32_t) * static_cast<int64_t>(num_queries) * c);
+  std::memset(labels, 0,
+              sizeof(float) * static_cast<int64_t>(num_queries) * c);
+  std::memset(cand_mask, 0,
+              sizeof(uint8_t) * static_cast<int64_t>(num_queries) * c);
+  for (int32_t q = 0; q < num_queries; ++q) {
+    int32_t query = query_ids[q];
+    int64_t pdeg = parent_counts[q];
+    if (pdeg == 0) return -1;
+    if (pdeg > max_pos) return -2;
+    int64_t row = static_cast<int64_t>(q) * c;
+    for (int64_t j = 0; j < pdeg; ++j) {
+      int32_t parent = parent_list[static_cast<int64_t>(q) * max_pos + j];
+      build_egonet(s, query, parent, /*positive=*/true, max_parents,
+                   expand_factor, &gps, &sibs);
+      emit(gps, parent, sibs, max_parents, expand_factor,
+           node_ids + (row + j) * n, ngp + row + j, nsib + row + j);
+      labels[row + j] = 1.0f;
+      cand_mask[row + j] = 1;
+    }
+    sample_at_most_k(s, query, negative_size, &negs);
+    for (size_t j = 0; j < negs.size(); ++j) {
+      int32_t anchor = negs[j];
+      int64_t r = row + max_pos + static_cast<int64_t>(j);
+      auto it = s->cache.find(anchor);
+      if (it != s->cache.end() && it->second.uses < s->cache_refresh_time) {
+        ++it->second.uses;
+        emit(it->second.gps, anchor, it->second.sibs, max_parents,
+             expand_factor, node_ids + r * n, ngp + r, nsib + r);
+      } else {
+        build_egonet(s, query, anchor, /*positive=*/false, max_parents,
+                     expand_factor, &gps, &sibs);
+        CachedEgo& ce = s->cache[anchor];
+        ce.gps = gps;
+        ce.sibs = sibs;
+        ce.uses = 0;
+        emit(gps, anchor, sibs, max_parents, expand_factor, node_ids + r * n,
+             ngp + r, nsib + r);
+      }
+      cand_mask[r] = 1;
+    }
+  }
+  return 0;
+}
+
 // Build query-independent anchor egonets (phase-1 eval encoding,
 // test_fast.py:96-97): one row per anchor.
 int32_t te_build_anchor_egonets(void* handle, const int32_t* anchors,

@@ -112,3 +112,72 @@ def test_native_faster_than_python():
     t_py = time.perf_counter() - t0
     # not a strict benchmark, but native should win clearly
     assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_eval_batch_invariants():
+    """sampling_mode 0 (validation layout): one positive per true parent in
+    the leading columns, at-most-k unmasked negatives after max_pos, padding
+    masked out."""
+    taxo = synthetic_taxonomy(num_nodes=400, dim=8, seed=2)
+    py = MaskedGraphSampler(taxo, mode="validation", sampling_mode=0,
+                            negative_size=7, expand_factor=6,
+                            cache_refresh_time=8, seed=0)
+    nat = native_mod.NativeSampler(py, seed=1)
+    queries = np.asarray(py.node_list[:12], np.int32)
+    node_ids, ngp, nsib, labels, mask = nat.sample_eval_batch(queries)
+    g, c = labels.shape
+    max_pos = py.max_query_parents
+    assert c == max_pos + py.negative_size
+    for qi, q in enumerate(queries):
+        parents = py.node2parents[int(q)]
+        npos = len(parents)
+        # positives: one per parent, in CSR order, labeled 1
+        np.testing.assert_array_equal(labels[qi, :npos], 1.0)
+        np.testing.assert_array_equal(labels[qi, npos:], 0.0)
+        assert mask[qi, :npos].all()
+        # padded positive columns are unmasked and empty
+        assert not mask[qi, npos:max_pos].any()
+        for j in range(npos):
+            assert node_ids[qi * c + j, py.max_parents] == parents[j]
+            sibs = node_ids[qi * c + j,
+                            py.max_parents + 1:
+                            py.max_parents + 1 + nsib[qi * c + j]]
+            assert int(q) not in sibs.tolist()
+        # negatives: at most k, unmasked, contiguous from max_pos
+        neg_cols = np.flatnonzero(mask[qi, max_pos:])
+        assert len(neg_cols) >= 1
+        assert (neg_cols == np.arange(len(neg_cols))).all()
+        for j in neg_cols:
+            anchor = int(node_ids[qi * c + max_pos + j, py.max_parents])
+            assert anchor in py.all_positions
+            assert anchor not in py.node2masks[int(q)]
+
+
+def test_loader_native_eval_layout_matches_python():
+    """The loader's native validation path produces the same layout contract
+    as the python path (same labels/cand_mask positive structure; negatives
+    differ only by RNG stream)."""
+    taxo = synthetic_taxonomy(num_nodes=300, dim=8, seed=4)
+
+    def build(backend):
+        py = MaskedGraphSampler(taxo, mode="validation", sampling_mode=0,
+                                negative_size=5, expand_factor=4, seed=0)
+        loader = GroupBatchLoader(py, batch_size=8, seed=0, prefetch=0,
+                                  shuffle=False, backend=backend)
+        return py, list(loader)
+
+    py_s, py_batches = build("python")
+    nat_s, nat_batches = build("native")
+    assert len(py_batches) == len(nat_batches)
+    for pb, nb in zip(py_batches, nat_batches):
+        np.testing.assert_array_equal(pb.labels, nb.labels)
+        # positive columns (before max_pos) agree exactly incl. anchors
+        mp = py_s.max_query_parents
+        np.testing.assert_array_equal(pb.cand_mask[:, :mp],
+                                      nb.cand_mask[:, :mp])
+        c = pb.labels.shape[1]
+        for gi in range(pb.labels.shape[0]):
+            for j in range(mp):
+                if pb.cand_mask[gi, j]:
+                    assert (pb.ego.node_ids[gi * c + j, py_s.max_parents] ==
+                            nb.ego.node_ids[gi * c + j, nat_s.max_parents])
