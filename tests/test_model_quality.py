@@ -15,7 +15,7 @@ import numpy as np
 import pytest
 
 from taxoexpan_tpu import builders
-from taxoexpan_tpu.baselines import simple_parent
+from taxoexpan_tpu.baselines import simple_parent, simple_structure
 from taxoexpan_tpu.data.synthetic import synthetic_taxonomy_v2
 from taxoexpan_tpu.evaluation import TaxonomyRanker
 from taxoexpan_tpu.train import Trainer
@@ -72,3 +72,10 @@ def test_trained_pgat_beats_simple_parent(tmp_path):
     assert res["hit_at_1"] > 0.3, res
     assert res["mrr_scaled_10"] > sp["mrr_scaled_10"], (res, sp)
     assert res["macro_mr"] < sp["macro_mr"] / 4, (res, sp, n_cand)
+
+    # ...and the strongest non-learned STRUCTURE heuristic on this
+    # benchmark (normalized sibling-distance average — hit@1 0.204 at this
+    # scale; the other sweep configs score ~0): learned attention must win
+    # the precision contest structure heuristics cannot
+    st = simple_structure.evaluate(taxo, agg="sum", beta=0.0)
+    assert res["hit_at_1"] > st["hit_at_1"], (res, st)
