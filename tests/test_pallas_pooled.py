@@ -153,3 +153,26 @@ def test_model_encode_pooled_matches_xla(rng, readout):
                     jax.tree_util.tree_leaves(g_pal)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=1e-4)
+
+
+def test_pooled_stored_attn_grads_match_recompute(rng, monkeypatch):
+    """Pooled-kernel variant of the stored-attention parity check: the
+    stored backward (TAXOEXPAN_STORED_ATTN=1) must reproduce the recompute
+    backward's gradients, dropout on."""
+    x, fc, al, ar, ngp, nsib = make_inputs(rng)
+
+    def loss(args, seed):
+        x_, fc_ = args
+        out = pools_fused(x_, fc_, al, ar, ngp, nsib, seed=seed,
+                          attn_drop=0.3, feat_drop=0.2)
+        return (out ** 2).sum()
+
+    monkeypatch.setenv("TAXOEXPAN_STORED_ATTN", "0")
+    v0, g0 = jax.value_and_grad(loss)((x, fc), 5)
+    monkeypatch.setenv("TAXOEXPAN_STORED_ATTN", "1")
+    v1, g1 = jax.value_and_grad(loss)((x, fc), 5)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
