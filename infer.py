@@ -40,6 +40,12 @@ def load_novel_taxons(path: str) -> tuple[list[str], np.ndarray]:
 
 
 def main(config, args_outer):
+    # multi-process (multi-host) runtime — must come before the first device
+    # query; no-op unless --coordinator/--num_processes (or the
+    # TAXOEXPAN_* env vars) request it
+    from taxoexpan_tpu.parallel import maybe_initialize
+    maybe_initialize(args_outer.coordinator, args_outer.num_processes,
+                     args_outer.process_id)
     enable_compile_cache()
     logger = config.get_logger("infer")
     vocab, nf = load_novel_taxons(args_outer.taxon)
@@ -81,11 +87,13 @@ def main(config, args_outer):
                             mesh=mesh)
     predictions = ranker.predict_parents(nf, rank_mode, topk=5)
 
-    with open(args_outer.save, "w") as fout:
-        fout.write("Query\tPredicted parents\n")
-        for term, parents in zip(vocab, predictions):
-            names = ", ".join(taxonomy.vocab[p] for p in parents)
-            fout.write(f"{term}\t{names}\n")
+    if jax.process_index() == 0:
+        # multi-process: predictions are replicated, one process owns disk
+        with open(args_outer.save, "w") as fout:
+            fout.write("Query\tPredicted parents\n")
+            for term, parents in zip(vocab, predictions):
+                names = ", ".join(taxonomy.vocab[p] for p in parents)
+                fout.write(f"{term}\t{names}\n")
     logger.info("Wrote %d predictions to %s", len(vocab), args_outer.save)
 
 
@@ -106,6 +114,14 @@ if __name__ == "__main__":
     args.add_argument("--sum_norm", action="store_true",
                       help="normalize novel embeddings by row sum "
                            "(reference bug-compatible mode)")
+    # multi-process (multi-host) execution — see parallel/distributed.py;
+    # combine with --mesh to shard over the global device set
+    args.add_argument("--coordinator", default=None, type=str,
+                      help="distributed coordinator address host:port")
+    args.add_argument("--num_processes", default=None, type=int,
+                      help="total process count for multi-host inference")
+    args.add_argument("--process_id", default=None, type=int,
+                      help="this process's index in [0, num_processes)")
     args_outer = args.parse_args()
     config = ConfigParser(args)
     main(config, args_outer)

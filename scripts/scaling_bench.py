@@ -19,6 +19,22 @@ vs the 1-chip replicated baseline, and writes a SCALING.md artifact, so the
     # dry-run rehearsal without hardware:
     python scripts/scaling_bench.py --kit --virtual-cpu \
         --report artifacts/SCALING_virtual_cpu.md
+
+Multi-HOST (N>=2 processes — the actual north-star topology): launch one
+process per host with the same flags train.py uses
+(parallel/distributed.py); the mesh then spans the global device set and
+batches/params are assembled per-process via put_global. The 1-chip
+reference for the efficiency column comes from a prior single-process run,
+passed in as --baseline-eps:
+
+    # on every host i of N:
+    python scripts/scaling_bench.py --kit --coordinator host0:1234 \
+        --num_processes N --process_id i \
+        --baseline-eps <1-chip edges/s from the single-host run> \
+        --report artifacts/SCALING_multihost.md
+    # local CPU rehearsal (2 processes x 1 virtual device — gloo deadlocks
+    # oversubscribed, tests/test_multiprocess.py): exercised by
+    # tests/test_scaling_kit_mp.py and artifacts/SCALING_mp_rehearsal.md
 """
 from __future__ import annotations
 
@@ -45,6 +61,8 @@ def run_config(args, ndev: int, feature_mode: str, halo: str | None):
 
     from bench import build_workload
     from taxoexpan_tpu.losses import info_nce_loss
+    from taxoexpan_tpu.parallel.distributed import put_global, \
+        put_global_tree
     from taxoexpan_tpu.parallel.partition import (partitioned_gather,
                                                   shard_table)
     from taxoexpan_tpu.ops import star as star_ops
@@ -53,29 +71,37 @@ def run_config(args, ndev: int, feature_mode: str, halo: str | None):
         print(f"# skipping n={ndev}: only {len(jax.devices())} devices",
               file=sys.stderr)
         return None
+    if jax.process_count() > 1 and ndev != len(jax.devices()):
+        # a sub-mesh would leave some processes without local devices in
+        # the jitted program — multi-process rows use the full device set
+        print(f"# skipping n={ndev}: multi-process runs span all "
+              f"{len(jax.devices())} global devices", file=sys.stderr)
+        return None
     if halo is not None:
         os.environ["TAXOEXPAN_HALO"] = halo
     else:
         os.environ.pop("TAXOEXPAN_HALO", None)
 
     mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("dp",))
-    # weak scaling: per-device batch fixed
+    replicated = NamedSharding(mesh, P())
+    # weak scaling: per-device batch fixed. Every process builds the same
+    # host workload (deterministic seed); put_global carves out its shards.
     model, params, batch, table, n_edges = build_workload(
         args.groups_per_device * ndev, args.group_size, 4, 11, 32, 64,
         64, 16, [4, 1], 1000, compute_dtype="float32",
         kernel="xla" if args.virtual_cpu else "auto")
     batch = jax.tree_util.tree_map(
-        lambda x: jax.device_put(np.asarray(x),
-                                 NamedSharding(mesh, P("dp"))), batch)
-    params = jax.device_put(params, NamedSharding(mesh, P()))
+        lambda x: put_global(np.asarray(x), NamedSharding(mesh, P("dp"))),
+        batch)
     if feature_mode == "partitioned":
         table_dev = shard_table(table, mesh, "dp")
     else:
-        table_dev = jax.device_put(jnp.asarray(table),
-                                   NamedSharding(mesh, P()))
+        table_dev = put_global(np.asarray(table), replicated)
     optimizer = optax.amsgrad(1e-3)
-    opt_state = jax.device_put(optimizer.init(params),
-                               NamedSharding(mesh, P()))
+    # init on the local (addressable) params BEFORE globalizing — a global
+    # array's data cannot be read back on any single process
+    opt_state = put_global_tree(optimizer.init(params), replicated)
+    params = put_global_tree(params, replicated)
 
     def fwd(p_, b_, t_, rng):
         if feature_mode == "partitioned":
@@ -150,6 +176,18 @@ def main() -> None:
                         "x halo A/B + efficiency report")
     p.add_argument("--report", default=None,
                    help="write a SCALING.md artifact to this path")
+    # multi-process (multi-host) execution — see parallel/distributed.py
+    p.add_argument("--coordinator", default=None, type=str,
+                   help="distributed coordinator address host:port")
+    p.add_argument("--num_processes", default=None, type=int,
+                   help="total process count for multi-host measurement")
+    p.add_argument("--process_id", default=None, type=int,
+                   help="this process's index in [0, num_processes)")
+    p.add_argument("--baseline-eps", type=float, default=None,
+                   help="1-chip replicated edges/s from a prior "
+                        "single-process run — the efficiency reference "
+                        "when this run cannot itself measure 1 chip "
+                        "(required for multi-process runs)")
     args = p.parse_args()
 
     if args.virtual_cpu:
@@ -159,9 +197,28 @@ def main() -> None:
     import jax
     if args.virtual_cpu:
         jax.config.update("jax_platforms", "cpu")
+    # multi-host wiring BEFORE the first device query (VERDICT r4 #3: the
+    # kit previously built its mesh from a single process's jax.devices(),
+    # so the N-host north-star number could not run as one command)
+    from taxoexpan_tpu.parallel.distributed import maybe_initialize
+    mp = maybe_initialize(args.coordinator, args.num_processes,
+                          args.process_id)
+    if mp:
+        # sub-meshes would exclude some processes' devices; the one
+        # measurable point is the full global device set
+        args.devices = [len(jax.devices())]
+        print(f"# multi-process: {jax.process_count()} processes, "
+              f"{len(jax.devices())} global devices", file=sys.stderr)
+        if args.baseline_eps is None:
+            print("# WARNING: no --baseline-eps given — the efficiency "
+                  "column will be normalized to this run's own first row "
+                  "(trivially 1.0), not to a 1-chip reference",
+                  file=sys.stderr)
 
     results = []
     base_eps_per_dev = None   # 1-chip replicated edges/s — THE reference
+    if args.baseline_eps:
+        base_eps_per_dev = args.baseline_eps
     for label, feature_mode, halo in config_matrix(args):
         for ndev in args.devices:
             if feature_mode == "partitioned" and ndev == 1:
@@ -174,15 +231,17 @@ def main() -> None:
                 base_eps_per_dev = eps / ndev
             eff = eps / (base_eps_per_dev * ndev)
             results.append({"config": label, "devices": ndev,
+                            "processes": jax.process_count(),
                             "ms_per_step": round(ms, 2),
                             "edges_per_s": round(eps, 1),
                             "efficiency_vs_1chip": round(eff, 3)})
             print(f"# {label} n={ndev}: {ms:.1f} ms/step, {eps:.3e} "
                   f"edges/s, efficiency {eff:.2f}", file=sys.stderr)
 
-    print(json.dumps(results))
-    if args.report:
-        write_report(args, results)
+    if jax.process_index() == 0:
+        print(json.dumps(results))
+        if args.report:
+            write_report(args, results)
 
 
 def write_report(args, results) -> None:
@@ -200,6 +259,10 @@ def write_report(args, results) -> None:
         f"Weak scaling: {args.groups_per_device} groups/device x "
         f"{args.group_size} candidates, PGAT train step (fwd+bwd+adam), "
         "slope-timed.",
+        (f"Processes: {jax.process_count()}; efficiency reference: "
+         + (f"--baseline-eps {args.baseline_eps:.3e} edges/s/chip "
+            "(prior single-process run)" if args.baseline_eps
+            else "this run's 1-chip replicated row")),
         "",
         "| config | devices | ms/step | edges/s | efficiency vs 1 chip |",
         "|---|---|---|---|---|",

@@ -78,10 +78,12 @@ def _gen_masks(seed, tile_idx, tb, n, din, p, s, h_heads, feat_drop,
             # sublane bitcast ([rows//4, cols] u32 -> [rows, cols] u8).
             # The keep probability quantizes to t/256 and the 256/t scale
             # keeps the mask UNBIASED — rate deviation < 1/256 (e.g. 0.9
-            # -> 0.8984). PRNG generation dominates the measured 3.8 ms/
-            # step dropout cost at the bench shape (docs/PERFORMANCE.md),
-            # so this is the lever that shrinks it. Default stays 32-bit
-            # (exact threshold) until a hardware parity + speed run lands.
+            # -> 0.8984). The round-4 hardware run settled this lever:
+            # PRNG *generation* is NOT the dominant share of the 3.8 ms/
+            # step dropout cost — shrinking the word count 4x saved only
+            # 0.16 ms at the bench shape (docs/PERFORMANCE.md r4 table),
+            # so 32-bit exact thresholds stay the default and this path
+            # remains an opt-in for PRNG-bound shapes only.
             if u8 and shape[0] % 4 == 0:
                 t8 = min(max(int((1.0 - rate) * 256.0), 1), 255)
                 bits = pltpu.prng_random_bits((shape[0] // 4, shape[1]))

@@ -74,6 +74,20 @@ def is_multiprocess() -> bool:
     return jax.process_count() > 1
 
 
+def assemble_from_callback(x, sharding):
+    """Build a global `jax.Array` from this process's addressable shards.
+
+    One callback fires per addressable shard — on a TPU host that is
+    typically 4-8 local devices per process, so the multi-callback path is
+    the production topology even though the gloo-constrained CPU rehearsal
+    (tests/test_multiprocess.py) only sees 1 device/process. Covered
+    against `device_put` on the 8-device mesh by
+    tests/test_parallel.py::test_assemble_matches_device_put."""
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def put_global(x, sharding):
     """Host array -> global device array under `sharding`.
 
@@ -83,9 +97,7 @@ def put_global(x, sharding):
     docstring)."""
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
-    x = np.asarray(x)
-    return jax.make_array_from_callback(x.shape, sharding,
-                                        lambda idx: x[idx])
+    return assemble_from_callback(x, sharding)
 
 
 def put_global_tree(tree, sharding):

@@ -43,14 +43,17 @@ def shard_table(features: np.ndarray, mesh: Mesh, axis: str = "dp"):
     row i -> local slot i // P. Returns the device array with shard
     placement; use `partitioned_gather` to read it inside jit/shard_map.
     """
+    from .distributed import put_global
     p = mesh.shape[axis]
     feats = pad_table(np.asarray(features), p)
     v, d = feats.shape
     # reorder to [P, V/P, D] so shard k = rows owned by k
     owner_major = feats.reshape(v // p, p, d).transpose(1, 0, 2)
-    return jax.device_put(
-        owner_major.reshape(v, d),
-        NamedSharding(mesh, P(axis, None)))
+    # put_global == device_put single-process; multi-process it assembles
+    # the mesh-spanning array from each process's local shards (a plain
+    # device_put cannot write remote shards)
+    return put_global(owner_major.reshape(v, d),
+                      NamedSharding(mesh, P(axis, None)))
 
 
 def bucket_capacity(n: int, p: int, factor: float = 2.0) -> int:

@@ -19,6 +19,13 @@ from taxoexpan_tpu.utils import enable_compile_cache
 def main(config, args_outer):
     import time
     t0 = time.time()
+    # multi-process (multi-host) runtime — must come before the first device
+    # query; no-op unless --coordinator/--num_processes (or the
+    # TAXOEXPAN_* env vars) request it. The ranker's mesh path is
+    # multi-process-safe (put_global batch assembly, replicated outputs).
+    from taxoexpan_tpu.parallel import maybe_initialize
+    maybe_initialize(args_outer.coordinator, args_outer.num_processes,
+                     args_outer.process_id)
     enable_compile_cache()
     logger = config.get_logger("test")
     need_case_study = args_outer.case != ""
@@ -65,7 +72,8 @@ def main(config, args_outer):
         "stage timing: data+sampler %.1fs, checkpoint %.1fs, encode %.1fs, "
         "rank %.1fs", t_data - t0, t_ckpt - t_data, t_encode - t_ckpt,
         time.time() - t_encode)
-    if need_case_study:
+    if need_case_study and jax.process_index() == 0:
+        # multi-process: metrics are replicated, one process owns the disk
         with open(args_outer.case, "w") as fout:
             for row in cases:
                 fout.write("\t".join(row) + "\n")
@@ -92,6 +100,14 @@ if __name__ == "__main__":
     args.add_argument("-m", "--mesh", action="store_true",
                       help="shard anchor encoding over all devices "
                            "(data-parallel evaluation mesh)")
+    # multi-process (multi-host) execution — see parallel/distributed.py;
+    # combine with --mesh to shard over the global device set
+    args.add_argument("--coordinator", default=None, type=str,
+                      help="distributed coordinator address host:port")
+    args.add_argument("--num_processes", default=None, type=int,
+                      help="total process count for multi-host evaluation")
+    args.add_argument("--process_id", default=None, type=int,
+                      help="this process's index in [0, num_processes)")
     args_outer = args.parse_args()
     config = ConfigParser(args)
     main(config, args_outer)

@@ -266,3 +266,43 @@ def test_mtl_partitioned_matches_replicated(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t_rep.params),
                     jax.tree_util.tree_leaves(t_par.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_assemble_matches_device_put(rng):
+    """Multi-shard-per-process batch assembly (VERDICT r4 #4).
+
+    The gloo-constrained CPU rehearsal (tests/test_multiprocess.py) runs
+    put_global's make_array_from_callback path with only ONE addressable
+    shard per process, but the real TPU-host topology has 4-8 local devices
+    per process — multiple callbacks per process. Exercise exactly that
+    here: 8 addressable shards in one process, assembled via the shipped
+    assemble_from_callback, must equal a plain device_put for every
+    sharding layout the trainer/ranker use ('dp'-sharded batches,
+    replicated params/tables, and a 2D dp x mp layout)."""
+    from taxoexpan_tpu.parallel.distributed import assemble_from_callback
+
+    x = rng.normal(size=(16, 6, 3)).astype(np.float32)
+    mesh_dp = data_parallel_mesh()
+    mesh_2d = make_mesh({"dp": 4, "mp": 2})
+    for mesh, spec in [(mesh_dp, P("dp")),       # batch sharding
+                       (mesh_dp, P()),           # replicated params/table
+                       (mesh_2d, P("dp", "mp")),  # 2D layout
+                       (mesh_2d, P(None, "mp"))]:
+        sharding = NamedSharding(mesh, spec)
+        got = assemble_from_callback(x, sharding)
+        want = jax.device_put(x, sharding)
+        assert got.sharding.is_equivalent_to(want.sharding, x.ndim), spec
+        # every addressable shard must hold identical data on its device
+        got_shards = {s.device: np.asarray(s.data)
+                      for s in got.addressable_shards}
+        assert len(got_shards) == 8
+        for s in want.addressable_shards:
+            np.testing.assert_array_equal(got_shards[s.device],
+                                          np.asarray(s.data))
+        np.testing.assert_array_equal(np.asarray(got), x)
+
+    # integer dtype (node_ids / labels ride the same path)
+    ids = rng.integers(0, 100, size=(8, 4)).astype(np.int32)
+    sharding = NamedSharding(mesh_dp, P("dp"))
+    got = assemble_from_callback(ids, sharding)
+    np.testing.assert_array_equal(np.asarray(got), ids)
