@@ -106,7 +106,8 @@ class Trainer:
                  rng_seed: int = 0,
                  start_epoch: int = 1,
                  monitor_best: float | None = None,
-                 profile_dir: str | Path | None = None):
+                 profile_dir: str | Path | None = None,
+                 full_valid_sampler=None):
         self.model = model
         self.params = params
         self.optimizer = optimizer
@@ -141,6 +142,24 @@ class Trainer:
         if monitor_best is not None:
             self.mnt_best = monitor_best
         self.start_epoch = start_epoch
+
+        # Full-catalog validation (VERDICT r4 #2): rank the validation
+        # queries against ALL candidate positions every K epochs instead of
+        # against `negative_size` sampled negatives. Sampled validation
+        # saturates after ~2 epochs at MAG scale (val_hit@1 0.997 while
+        # test sits at 0.879 — the monitor, plateau scheduler and early
+        # stop were firing on noise); the one-dispatch ranker makes the
+        # full catalog cheap (~2-4 s warm). K > 1 runs sampled validation
+        # on the off-epochs for tensorboard continuity, but monitor/
+        # plateau/early-stop only act on full-validation epochs (mixing
+        # the two scales would corrupt the improvement comparison).
+        self.full_valid_sampler = full_valid_sampler
+        self.full_validation_every = int(
+            cfg_t.get("full_validation_every", 0) or 0)
+        if self.full_validation_every > 0 and full_valid_sampler is None:
+            raise ValueError("trainer.full_validation_every is set but no "
+                             "full_valid_sampler was provided")
+        self._full_ranker = None
 
         self.checkpoint_dir = Path(save_dir)
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
@@ -335,7 +354,11 @@ class Trainer:
         t_wait = 0.0
         t_dispatch = 0.0
         t_epoch = time.time()
-        valid_prefetch = self._start_valid_prefetch()
+        # full-catalog validation epochs replace the sampled pass entirely
+        full_epoch = (self.full_validation_every > 0
+                      and epoch % self.full_validation_every == 0)
+        valid_prefetch = None if full_epoch \
+            else self._start_valid_prefetch()
         t0 = time.time()
         for batch_idx, (_host, dev_batch, b_egonets, b_edges) in enumerate(
                 _DeviceFeed(self.train_loader, self._put_batch)):
@@ -360,6 +383,18 @@ class Trainer:
             t_wait += t1 - t0
             t_dispatch += t2 - t1
             t0 = t2
+        # validation is DISPATCHED before the epoch-end loss readback
+        # (VERDICT r4 #5): both are async device work, so the validation
+        # scores compute while the host blocks on the train drain below —
+        # valid_s then measures only its own dispatch + readback, not the
+        # device compute it used to serialize behind the sync.
+        valid_work = None
+        t_vd = 0.0
+        if self.valid_loader is not None and not full_epoch:
+            t_v0 = time.time()
+            valid_work = self._dispatch_valid(valid_prefetch)
+            t_vd = time.time() - t_v0
+
         # single synchronizing readback for the whole epoch
         t_s = time.time()
         if losses:
@@ -380,10 +415,21 @@ class Trainer:
                           "sync_s": round(t_sync, 2)}}
         self.writer.add_scalar("edges_per_sec", n_edges / dt)
 
-        if self.valid_loader is not None:
-            t_v = time.time()
-            log.update(self._valid_epoch(epoch, prefetched=valid_prefetch))
-            log["timing"]["valid_s"] = round(time.time() - t_v, 2)
+        if valid_work is not None:
+            t_v1 = time.time()
+            log.update(self._finish_valid(epoch, valid_work))
+            log["timing"]["valid_s"] = round(t_vd + time.time() - t_v1, 2)
+            if self.full_validation_every > 0:
+                # off-epoch of a K>1 full-validation schedule: the sampled
+                # metrics keep tensorboard continuity but must not reach
+                # the monitor/plateau (mixed scales corrupt comparisons)
+                log["val_sampled_metrics"] = log.pop("val_metrics")
+                log["_monitor_eligible"] = False
+        if full_epoch:
+            t_v1 = time.time()
+            log.update(self._full_valid(epoch))
+            log["timing"]["valid_s"] = round(time.time() - t_v1, 2)
+            log["full_validation"] = True
 
         if self.lr_scheduler is not None and "val_metrics" in log:
             # plateau on MR (min) / Hit@1 (max) — trainer.py:84-92
@@ -415,10 +461,16 @@ class Trainer:
         t.start()
         return (t, out)
 
-    def _valid_epoch(self, epoch: int, prefetched=None) -> dict:
+    def _dispatch_valid(self, prefetched=None):
+        """Stage + dispatch the sampled validation scores WITHOUT waiting.
+
+        Called between the last train-step dispatch and the epoch-end loss
+        readback: the returned scores are an in-flight device computation
+        that drains concurrently with the train sync (the readback blocks
+        the host anyway), so _finish_valid pays only the scores transfer.
+        """
         if self._eval_fn is None:
             self._eval_fn = self._build_eval()
-        totals = np.zeros(len(self.metric_fns))
         # batches staged on device while training computed (prefetch thread);
         # score the whole epoch in ONE jit dispatch (device-side stack +
         # lax.map) and read all scores back in one transfer
@@ -433,12 +485,20 @@ class Trainer:
                                                           self._put_batch):
                 host.append((batch.labels, batch.cand_mask))
                 dev_batches.append(dev_batch)
+        if not host:
+            return (host, None)
+        scores_fut = self._eval_fn(self.params, tuple(dev_batches),
+                                   self.feature_table)
+        return (host, scores_fut)
+
+    def _finish_valid(self, epoch: int, valid_work) -> dict:
+        """Read back the dispatched validation scores and reduce metrics."""
+        host, scores_fut = valid_work
+        totals = np.zeros(len(self.metric_fns))
         n_batches = len(host)
         if n_batches == 0:
             return {"val_metrics": totals.tolist()}
-        scores_all = np.asarray(jax.device_get(
-            self._eval_fn(self.params, tuple(dev_batches),
-                          self.feature_table)))
+        scores_all = np.asarray(jax.device_get(scores_fut))
         for batch_idx, (scores, (labels, cand_mask)) in enumerate(
                 zip(scores_all, host)):
             all_ranks = metrics_mod.ranks_from_groups(
@@ -457,6 +517,29 @@ class Trainer:
                                 for k in path)
                 self.writer.add_histogram(name, np.asarray(leaf))
         return {"val_metrics": (totals / max(n_batches, 1)).tolist()}
+
+    def _full_valid(self, epoch: int) -> dict:
+        """Full-catalog validation: rank every validation query against ALL
+        candidate positions with the one-dispatch TaxonomyRanker (the
+        test_fast.py engine pointed at the validation split). Unlike the
+        sampled pass this does not saturate — at MAG scale val_hit@1 under
+        `negative_size` negatives hits 0.997 by epoch 2 while the full
+        catalog still orders checkpoints (VERDICT r4 #2)."""
+        from ..evaluation.ranker import TaxonomyRanker
+        if self._full_ranker is None:
+            s = self.full_valid_sampler
+            self._full_ranker = TaxonomyRanker(
+                self.model, self.params, s, s.node_features,
+                mesh=self.mesh)
+        else:
+            self._full_ranker.refresh(self.params)
+        result, _ = self._full_ranker.evaluate(self.metric_names,
+                                               self.rank_mode)
+        vals = [float(result[m]) for m in self.metric_names]
+        self.writer.set_step(epoch, "valid")
+        for name, v in zip(self.metric_names, vals):
+            self.writer.add_scalar("full_" + name, v)
+        return {"val_metrics": vals}
 
     # ------------------------------------------------------------------ train
     def train(self) -> dict:
@@ -478,10 +561,14 @@ class Trainer:
         for epoch in range(self.start_epoch, self.epochs + 1):
             t0 = time.time()
             result = self._train_epoch(epoch)
+            monitor_eligible = result.pop("_monitor_eligible", True)
             log = {"epoch": epoch, "epoch_seconds": round(time.time() - t0, 2)}
             for key, value in result.items():
                 if key == "val_metrics":
                     log.update({"val_" + m: value[i]
+                                for i, m in enumerate(self.metric_names)})
+                elif key == "val_sampled_metrics":
+                    log.update({"val_sampled_" + m: value[i]
                                 for i, m in enumerate(self.metric_names)})
                 else:
                     log[key] = value
@@ -490,7 +577,7 @@ class Trainer:
             final_log = log
 
             best = False
-            if self.mnt_mode != "off":
+            if self.mnt_mode != "off" and monitor_eligible:
                 if self.mnt_metric not in log:
                     self.logger.warning(
                         "Warning: Metric '%s' not found; disabling model "

@@ -38,6 +38,7 @@ def main(config):
     train_loader = builders.build_loader(train_sampler, train_cfg)
 
     valid_loader = None
+    full_valid_sampler = None
     if "validation_data_loader" in config:
         val_cfg = dict(config["validation_data_loader"]["args"])
         # the validation batch layout must share the train sampler's static
@@ -45,6 +46,14 @@ def main(config):
         val_cfg["max_parents"] = train_sampler.max_parents
         val_sampler = builders.build_sampler(taxonomy, val_cfg, "validation")
         valid_loader = builders.build_loader(val_sampler, val_cfg)
+        if int(config["trainer"].get("full_validation_every", 0) or 0) > 0:
+            # full-catalog validation: a sampling_mode-0 view of the same
+            # validation split drives the TaxonomyRanker every K epochs
+            # (trainer._full_valid) so the monitor keeps discriminative
+            # signal after the sampled metrics saturate
+            fv_cfg = dict(val_cfg, sampling_mode=0)
+            full_valid_sampler = builders.build_sampler(taxonomy, fv_cfg,
+                                                        "validation")
 
     model = builders.build_model(
         config["arch"], max_parents=train_sampler.max_parents,
@@ -108,7 +117,8 @@ def main(config):
                       mesh=mesh,
                       save_dir=config.save_dir,
                       log_dir=config.log_dir,
-                      rng_seed=config.get("seed", 0))
+                      rng_seed=config.get("seed", 0),
+                      full_valid_sampler=full_valid_sampler)
     if config.resume is not None:
         trainer.resume(config.resume)
 
@@ -154,6 +164,8 @@ if __name__ == "__main__":
         # Trainer & Optimizer — train.py:69-75
         CustomArg(["--loss"], type=str, target=("loss",)),
         CustomArg(["--ep", "--epochs"], type=int, target=("trainer", "epochs")),
+        CustomArg(["--fve", "--full_validation_every"], type=int,
+                  target=("trainer", "full_validation_every")),
         CustomArg(["--v", "--verbose_level"], type=int,
                   target=("trainer", "verbosity")),
         CustomArg(["--lr", "--learning_rate"], type=float,
