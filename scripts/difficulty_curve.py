@@ -90,6 +90,11 @@ def model_metrics(args, data_path, workdir, noise):
     cfg["trainer"].update(epochs=args.epochs, save_dir=workdir,
                           full_validation_every=1, tensorboardX=False,
                           early_stop=args.early_stop)
+    if args.patience and cfg.get("lr_scheduler"):
+        # weak-signal regimes (noise >= 1.5) improve slowly with noisy
+        # epoch-to-epoch validation: the default patience-3 plateau decays
+        # the lr long before the rotations are learned
+        cfg["lr_scheduler"]["args"]["patience"] = args.patience
     if args.negative_size:
         cfg["train_data_loader"]["args"]["negative_size"] = \
             args.negative_size
@@ -123,6 +128,8 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--early_stop", type=int, default=8)
+    p.add_argument("--patience", type=int, default=0,
+                   help="plateau patience override (0 = config default)")
     p.add_argument("--hidden", type=int, default=0,
                    help="override hidden/out dim (0 = config.mag shape)")
     p.add_argument("--expand_factor", type=int, default=0)
@@ -150,7 +157,10 @@ def main():
         parent = parent_metrics(data)
         rows.append({"noise": noise, "model": model, "structure": struct,
                      "structure_cfg": struct_cfg, "parent": parent,
-                     "train_s": round(t_train, 1)})
+                     "train_s": round(t_train, 1),
+                     "schedule": {"epochs": args.epochs,
+                                  "early_stop": args.early_stop,
+                                  "patience": args.patience or "config"}})
         print(json.dumps(rows[-1]), flush=True)
 
     lines = [

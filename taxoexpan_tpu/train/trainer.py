@@ -613,10 +613,19 @@ class Trainer:
         The foreground cost is one device-side `jnp.copy` of params/opt
         state (an async dispatch; the copy also makes the snapshot immune
         to the next epoch's buffer donation). The D2H readback + pickle —
-        1.5-2 s per epoch through the relay, ~12% of a MAG-scale epoch —
-        runs on a background thread, overlapped with the next epoch; one
-        outstanding save at a time bounds memory and keeps write order."""
-        self._join_ckpt()
+        1.5-2 s per epoch through the relay — runs on a background
+        thread, overlapped with the next epoch. Up to TWO saves may be in
+        flight (each write thread first joins its predecessor, so on-disk
+        order — including model_best — is preserved); the r5 flagship
+        showed a depth-1 join blocking the loop 1.3-2.9 s/epoch once
+        full-catalog validation shrank the epoch below the relay-contended
+        write time. Beyond depth 2 the oldest write is joined, bounding
+        snapshot memory at 2x params+opt."""
+        # prune finished writes; block only when 2 are still in flight
+        self._ckpt_pending = [t for t in getattr(self, "_ckpt_pending", [])
+                              if t.is_alive()]
+        while len(self._ckpt_pending) >= 2:
+            self._ckpt_pending.pop(0).join()
         sched = self.lr_scheduler.state_dict() if self.lr_scheduler else None
         params = jax.tree_util.tree_map(jnp.copy, self.params)
         opt_state = jax.tree_util.tree_map(jnp.copy, self.opt_state)
@@ -631,7 +640,11 @@ class Trainer:
             # (SPMD program order must match), only process 0 touches disk
             return
 
+        prev = self._ckpt_pending[-1] if self._ckpt_pending else None
+
         def write():
+            if prev is not None:
+                prev.join()   # serialize writes: epoch order + model_best
             ckpt_mod.save_checkpoint(path, params=params,
                                      opt_state=opt_state, epoch=epoch,
                                      monitor_best=mnt_best,
@@ -645,14 +658,14 @@ class Trainer:
 
         # non-daemon: interpreter exit waits for the write; combined with
         # tmp+rename saves this makes checkpoint files crash-consistent
-        self._ckpt_thread = threading.Thread(target=write, daemon=False)
-        self._ckpt_thread.start()
+        t = threading.Thread(target=write, daemon=False)
+        t.start()
+        self._ckpt_pending.append(t)
 
     def _join_ckpt(self) -> None:
-        t = getattr(self, "_ckpt_thread", None)
-        if t is not None:
+        for t in getattr(self, "_ckpt_pending", []):
             t.join()
-            self._ckpt_thread = None
+        self._ckpt_pending = []
 
     def resume(self, path: str) -> None:
         """Restore params/opt_state/epoch/monitor from a checkpoint
