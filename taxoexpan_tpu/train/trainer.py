@@ -622,13 +622,25 @@ class Trainer:
         write time. Beyond depth 2 the oldest write is joined, bounding
         snapshot memory at 2x params+opt."""
         # prune finished writes; block only when 2 are still in flight
+        t_b0 = time.time()
         self._ckpt_pending = [t for t in getattr(self, "_ckpt_pending", [])
                               if t.is_alive()]
         while len(self._ckpt_pending) >= 2:
             self._ckpt_pending.pop(0).join()
+        t_join = time.time() - t_b0
         sched = self.lr_scheduler.state_dict() if self.lr_scheduler else None
-        params = jax.tree_util.tree_map(jnp.copy, self.params)
-        opt_state = jax.tree_util.tree_map(jnp.copy, self.opt_state)
+        # ONE jitted dispatch for the whole snapshot: per-leaf jnp.copy was
+        # ~40 separate dispatches, each paying a relay ACK (~50 ms when the
+        # relay drifts -> the 2 s checkpoint_s plateau measured on the r5
+        # curve runs); a fused copy pays one
+        if not hasattr(self, "_snap_fn"):
+            self._snap_fn = jax.jit(
+                lambda p, o: jax.tree_util.tree_map(jnp.copy, (p, o)))
+        t_b1 = time.time()
+        params, opt_state = self._snap_fn(self.params, self.opt_state)
+        t_snap = time.time() - t_b1
+        self.logger.debug("ckpt foreground: join %.3fs snap %.3fs",
+                          t_join, t_snap)
         mnt_best = self.mnt_best
         path = self.checkpoint_dir / f"checkpoint-epoch{epoch}.ckpt"
         self.logger.info("Saving checkpoint: %s ...", path)
@@ -645,16 +657,24 @@ class Trainer:
         def write():
             if prev is not None:
                 prev.join()   # serialize writes: epoch order + model_best
-            ckpt_mod.save_checkpoint(path, params=params,
-                                     opt_state=opt_state, epoch=epoch,
+            # ONE device->host readback shared by both files: letting
+            # save_checkpoint's _to_numpy run per file doubled the ~25 MB
+            # relay readback on every improved epoch, and the in-flight
+            # readback contends with the next epoch's dispatches on the
+            # relay connection (the residual checkpoint_s tail)
+            host_params = jax.tree_util.tree_map(np.asarray, params)
+            host_opt = jax.tree_util.tree_map(np.asarray, opt_state)
+            ckpt_mod.save_checkpoint(path, params=host_params,
+                                     opt_state=host_opt, epoch=epoch,
                                      monitor_best=mnt_best,
                                      config=self.config,
                                      scheduler_state=sched)
             if save_best:
                 ckpt_mod.save_checkpoint(
-                    self.checkpoint_dir / "model_best.ckpt", params=params,
-                    opt_state=opt_state, epoch=epoch, monitor_best=mnt_best,
-                    config=self.config, scheduler_state=sched)
+                    self.checkpoint_dir / "model_best.ckpt",
+                    params=host_params, opt_state=host_opt, epoch=epoch,
+                    monitor_best=mnt_best, config=self.config,
+                    scheduler_state=sched)
 
         # non-daemon: interpreter exit waits for the write; combined with
         # tmp+rename saves this makes checkpoint files crash-consistent

@@ -123,8 +123,8 @@ def test_medium_scale_flagship_guard(tmp_path):
     """Medium-scale guard for the flagship operating point (VERDICT r4 #7):
     5k nodes at noise 1.0 — the regime the generator does NOT call
     saturated — where the trained CR model must still top the structure
-    sweep on macro_mr AND hit@1. Gated behind `-m heavy` (several minutes
-    of CPU training)."""
+    sweep on macro_mr AND hit@1. Gated behind `-m heavy` (~25-45 min of
+    CPU training; passed in 42 min on the 2-core box under load)."""
     taxo = synthetic_taxonomy_v2(num_nodes=5000, dim=64, max_children=40,
                                  noise=1.0, seed=42)
     cfg = dict(CFG, batch_size=64, negative_size=31, expand_factor=20)
