@@ -69,6 +69,10 @@ def main():
     vcfg["max_parents"] = sampler.max_parents
     vsampler = builders.build_sampler(taxo, vcfg, "validation")
     vloader = builders.build_loader(vsampler, vcfg)
+    # full-catalog validation sampler: epoch 2 runs trainer._full_valid
+    # (TaxonomyRanker under the multi-process mesh), epoch 1 the sampled
+    # pass — both validation paths execute in one run
+    fv_sampler = builders.build_sampler(taxo, vcfg, "validation")
     model = builders.build_model(arch, max_parents=sampler.max_parents,
                                  expand_factor=sampler.expand_factor)
     params = model.init(jax.random.PRNGKey(0))
@@ -85,9 +89,11 @@ def main():
                       config={"trainer": {
                           "epochs": 2,
                           "save_period": 1 if args.save_dir else 10 ** 9,
-                          "monitor": "off"}},
+                          "monitor": "off",
+                          "full_validation_every": 2}},
                       mesh=mesh,
-                      save_dir=args.save_dir or "/tmp/mp_worker_unused")
+                      save_dir=args.save_dir or "/tmp/mp_worker_unused",
+                      full_valid_sampler=fv_sampler)
     print(f"[{args.pid}] trainer built, starting train", flush=True)
     log = trainer.train()
 
