@@ -84,6 +84,8 @@ def model_metrics(args, data_path, workdir, noise):
                  pos_dim=max(args.hidden // 8, 8))
     if args.readout:
         a["readout_method"] = args.readout
+    if args.raw_channel:
+        a["raw_channel"] = True
     if args.device != "cpu":
         a["compute_dtype"] = "bfloat16"
     cfg["name"] = f"curve-n{noise}"
@@ -136,6 +138,9 @@ def main():
     p.add_argument("--negative_size", type=int, default=0)
     p.add_argument("--readout", default="",
                    help="override readout method (e.g. CR)")
+    p.add_argument("--raw_channel", action="store_true",
+                   help="enable the raw-feature channel "
+                        "(models/taxoexpan.py raw_channel=True)")
     p.add_argument("--device", default=None)
     p.add_argument("--workdir", default="/tmp/difficulty_curve")
     p.add_argument("--report", default="artifacts/DIFFICULTY_CURVE.md")
@@ -171,6 +176,7 @@ def main():
         "config.mag.json shape"
         + (f" with hidden={args.hidden}" if args.hidden else "")
         + (f", readout={args.readout}" if args.readout else "")
+        + (", raw_channel" if args.raw_channel else "")
         + (f", negative_size={args.negative_size}"
            if args.negative_size else "")
         + f", full-catalog validation every epoch, {args.epochs} epochs "

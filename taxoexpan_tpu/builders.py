@@ -68,7 +68,8 @@ def build_model(arch_cfg: dict, *, max_parents: int,
         kernel=a.get("kernel", "auto"),
         pos_mode=a.get("pos_mode", "bias"),
         attention_dim=a.get("attention_dim", 100),
-        aux_heads=a.get("aux_heads"))
+        aux_heads=a.get("aux_heads"),
+        raw_channel=a.get("raw_channel", False))
 
 
 def build_optimizer_from_config(opt_cfg: dict, trainer_cfg: dict | None = None):

@@ -46,7 +46,8 @@ class TaxoExpan:
                  kernel: str = "auto",
                  pos_mode: str = "bias",
                  attention_dim: int = 100,
-                 aux_heads: list | None = None):
+                 aux_heads: list | None = None,
+                 raw_channel: bool = False):
         if propagation_method not in PROPAGATION_KINDS:
             raise ValueError(
                 f"Unacceptable Graph Propagation Method: {propagation_method}")
@@ -94,10 +95,21 @@ class TaxoExpan:
 
         self.readout = Readout(readout_method, out_dim,
                                attention_dim=attention_dim)
-        # l_dim from readout (x3 for CR), r_dim = query feature dim
-        # (model/model.py:45-57)
-        self.matcher = Matcher(matching_method, self.readout.l_dim, in_dim,
-                               hidden_dim)
+        # Optional raw-feature channel: append the unit-normalized
+        # anchor+sibling mean of the UNtransformed ego features to every
+        # graph summary, so the matcher can blend the raw-space structure
+        # signal (the `simple_structure` heuristic's score is a dot product
+        # against exactly this vector — ops/star.py:raw_star_channel) with
+        # the propagated evidence. No reference counterpart (the reference's
+        # matcher sees only the GNN summary, model/model.py:70-87); this is
+        # the lever that closes the mid-noise mean-rank gap documented in
+        # artifacts/DIFFICULTY_CURVE.md.
+        self.raw_channel = bool(raw_channel)
+        raw_dim = in_dim if self.raw_channel else 0
+        # l_dim from readout (x3 for CR) + raw channel, r_dim = query
+        # feature dim (model/model.py:45-57)
+        self.matcher = Matcher(matching_method, self.readout.l_dim + raw_dim,
+                               in_dim, hidden_dim)
         # Multi-task auxiliary scoring heads (the `_MTL` arch suffix of the
         # reference's retired PGAT_PATR_PMLP_MTL_Net,
         # config_files/config.20190815_*_MTL.json — implementation gone
@@ -109,8 +121,8 @@ class TaxoExpan:
         for spec in (aux_heads or []):
             rd = Readout(spec.get("readout", "WMR"), out_dim,
                          attention_dim=attention_dim)
-            mt = Matcher(spec.get("matcher", "BIM"), rd.l_dim, in_dim,
-                         hidden_dim)
+            mt = Matcher(spec.get("matcher", "BIM"), rd.l_dim + raw_dim,
+                         in_dim, hidden_dim)
             self.aux_heads.append((rd, mt))
 
     # ------------------------------------------------------------------ params
@@ -166,13 +178,25 @@ class TaxoExpan:
                                pool_readout=True)
             pw = params["readout"].get("emb") \
                 if self.readout_method == "WMR" else None
-            return star.readout_from_pools(pools, ngp, nsib,
-                                           kind=self.readout_method,
-                                           position_weights=pw)
-        h = prop.apply(params["propagate"], feats, ngp, nsib,
-                       self.max_parents, rng=rng, train=train)
-        return self.readout.apply(params["readout"], h, ngp, nsib,
-                                  self.max_parents)
+            hg = star.readout_from_pools(pools, ngp, nsib,
+                                         kind=self.readout_method,
+                                         position_weights=pw)
+        else:
+            h = prop.apply(params["propagate"], feats, ngp, nsib,
+                           self.max_parents, rng=rng, train=train)
+            hg = self.readout.apply(params["readout"], h, ngp, nsib,
+                                    self.max_parents)
+        return self._append_raw(hg, feats, ngp, nsib)
+
+    def _append_raw(self, hg: jax.Array, feats: jax.Array, ngp: jax.Array,
+                    nsib: jax.Array) -> jax.Array:
+        """Concatenate the raw anchor+sibling unit-mean channel (if enabled)
+        to a graph summary; see ops/star.py:raw_star_channel."""
+        if not self.raw_channel:
+            return hg
+        from ..ops import star
+        rc = star.raw_star_channel(feats, ngp, nsib, self.max_parents)
+        return jnp.concatenate([hg, rc.astype(hg.dtype)], axis=-1)
 
     def match(self, params, hg: jax.Array, qf: jax.Array) -> jax.Array:
         return self.matcher.apply(params["match"], hg, qf)
@@ -238,6 +262,7 @@ class TaxoExpan:
         for rd, mt, rp, mp_ in heads:
             hg = rd.apply(rp, h, batch.ego.ngp, batch.ego.nsib,
                           self.max_parents)
+            hg = self._append_raw(hg, feats, batch.ego.ngp, batch.ego.nsib)
             scores.append(mt.apply(mp_, hg, qf_per_ego).reshape(g, c))
         return jnp.stack(scores)
 

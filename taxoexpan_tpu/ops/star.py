@@ -186,6 +186,40 @@ def readout(h: jax.Array, ngp: jax.Array, nsib: jax.Array, p: int,
     raise ValueError(f"unknown readout kind {kind!r}")
 
 
+def raw_star_channel(feats: jax.Array, ngp: jax.Array, nsib: jax.Array,
+                     p: int) -> jax.Array:
+    """Unit-normalized mean of the anchor + sibling slots; [B, N, D] -> [B, D].
+
+    The raw-feature channel of the composite model (models/taxoexpan.py,
+    `raw_channel=True`): the query-independent half of the structure
+    heuristic's winning score. `simple_structure --agg sum --beta 0`
+    (baselines/simple_structure.py:68-69, re-deriving the reference's
+    baselines/simple_structure.py:59-63) ranks candidates by
+
+        (1/(1+n_sib)) * [ (1 - q_hat . a_hat) + sum_j (1 - q_hat . s_hat_j) ]
+        = 1 - q_hat . mean({a_hat} u {s_hat_j})
+
+    so within one query's ranking it is EXACTLY a dot product against this
+    channel (the query's own norm is a positive per-query constant). A
+    bilinear matcher over the concatenated [learned summary | raw channel]
+    can therefore represent that heuristic with W proportional to an identity
+    block — and learn how to blend it with the propagated evidence. Computed
+    in f32 regardless of the compute dtype (it is one normalize + masked mean,
+    bandwidth-trivial next to propagation).
+
+    Padded slots arrive zeroed (gather_feats / egobatch masking); their norms
+    clamp to eps and the sibling mask removes them from the mean.
+    """
+    b, n, _ = feats.shape
+    x = feats.astype(jnp.float32)
+    unit = x / jnp.maximum(
+        jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    smask = _sib_mask(nsib, n - p - 1).astype(jnp.float32)         # [B, S]
+    total = unit[:, p] + (unit[:, p + 1:] * smask[..., None]).sum(axis=1)
+    counts = (1.0 + nsib.astype(jnp.float32))[:, None]             # [B, 1]
+    return total / counts
+
+
 def readout_attention(h: jax.Array, ngp: jax.Array, nsib: jax.Array, p: int,
                       gate_params: dict) -> jax.Array:
     """PATR: position-aware global-attention readout, h [B, N, D] -> [B, D].
