@@ -131,13 +131,36 @@ class TaxoExpan:
         params = {"propagate": self.propagate.init(kp),
                   "readout": self.readout.init(kr),
                   "match": self.matcher.init(km)}
+        self._seed_raw_prior(self.matcher, params["match"],
+                             l_learned=self.readout.l_dim)
         if self.aux_heads:
             keys = jax.random.split(ka, 2 * len(self.aux_heads))
             params["aux"] = [
                 {"readout": rd.init(keys[2 * i]),
                  "match": mt.init(keys[2 * i + 1])}
                 for i, (rd, mt) in enumerate(self.aux_heads)]
+            for i, (rd, mt) in enumerate(self.aux_heads):
+                self._seed_raw_prior(mt, params["aux"][i]["match"],
+                                     l_learned=rd.l_dim)
         return params
+
+    def _seed_raw_prior(self, matcher: Matcher, match_params: dict, *,
+                        l_learned: int) -> None:
+        """Structure-prior init: with the raw channel on, add the identity to
+        the raw-block rows of a bilinear matcher's weight, so the UNtrained
+        model already scores candidates like the `simple_structure sum/b0.0`
+        heuristic (its score is a dot product against the raw channel —
+        ops/star.py:raw_star_channel) and training starts from that prior
+        instead of having to rediscover it. Verified on the v2 benchmark at
+        noise 1.5: the identity-block model's full-catalog metrics match the
+        heuristic's to 4 decimals (tests/test_raw_channel.py). Non-bilinear
+        matchers (MLP/NTN) keep their default init — the prior has no
+        closed-form embedding there."""
+        if not self.raw_channel or matcher.kind not in ("BIM", "LBM"):
+            return
+        w = match_params["w"]
+        eye = jnp.eye(self.in_dim, dtype=w.dtype)
+        match_params["w"] = w.at[l_learned:].add(eye)
 
     @staticmethod
     def num_params(params) -> int:

@@ -122,6 +122,26 @@ def test_bim_block_identity_reproduces_structure_heuristic(rng):
                                   np.argsort(heur, kind="stable"))
 
 
+def test_structure_prior_init(tiny_taxonomy):
+    """With raw_channel on, a bilinear matcher's init carries the identity on
+    the raw-block rows (models/taxoexpan.py:_seed_raw_prior) — the untrained
+    model starts at the structure heuristic instead of rediscovering it."""
+    import math
+    sampler = MaskedGraphSampler(tiny_taxonomy, mode="train", sampling_mode=1,
+                                 negative_size=7, expand_factor=6)
+    model = builders.build_model(ARCH, max_parents=sampler.max_parents,
+                                 expand_factor=sampler.expand_factor)
+    w = np.asarray(model.init(jax.random.PRNGKey(0))["match"]["w"])
+    l_learned = model.readout.l_dim
+    bound = 1.0 / math.sqrt(model.matcher.l_dim)
+    raw = w[l_learned:]
+    assert np.all(np.abs(np.diag(raw) - 1.0) <= bound)
+    off = raw[~np.eye(raw.shape[0], dtype=bool)]
+    assert np.all(np.abs(off) <= bound)
+    # learned-summary rows untouched
+    assert np.all(np.abs(w[:l_learned]) <= bound)
+
+
 def test_raw_channel_trains_and_evaluates(tiny_taxonomy, tmp_path):
     """End to end: trainer step + full-catalog ranker both flow the widened
     matcher dims (the channel rides encode(), so the encode-once +
