@@ -199,6 +199,24 @@ def test_dp_mp_trainer_matches_dp_only(tmp_path):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
+def test_raw_channel_partitioned_matches_replicated(tmp_path):
+    """raw_channel=True on the mesh: the raw channel is computed from the
+    gathered ego features, so the partitioned-feature-table path (halo
+    gather + forward_with_feats) must train identically to the replicated
+    table."""
+    arch_rc = {"args": dict(ARCH["args"], readout_method="CR",
+                            raw_channel=True)}
+    mesh = data_parallel_mesh()
+    t_rep = _make_trainer(tmp_path / "rep", mesh, "replicated", arch=arch_rc)
+    log_rep = t_rep._train_epoch(1)
+    t_par = _make_trainer(tmp_path / "par", mesh, "partitioned", arch=arch_rc)
+    log_par = t_par._train_epoch(1)
+    np.testing.assert_allclose(log_rep["loss"], log_par["loss"], rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(t_rep.params),
+                    jax.tree_util.tree_leaves(t_par.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_bucket_capacity():
     from taxoexpan_tpu.parallel.partition import bucket_capacity
     # factor x balanced load, rounded to the 8-row sublane, clamped to n
