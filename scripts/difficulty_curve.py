@@ -29,6 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 METRICS = ["macro_mr", "hit_at_1", "hit_at_3", "mrr_scaled_10"]
+PRIOR_GRID = "0,0.25,0.5,1,2,4,8,16,32,64,256"
 STRUCT_SWEEP = [(agg, beta) for agg in ("sum", "mean", "min", "max")
                 for beta in (0.0, 0.25, 1.0)]
 
@@ -117,7 +118,19 @@ def model_metrics(args, data_path, workdir, noise):
     m = re.findall(r"\{[^{}]*'macro_mr'[^{}]*\}", out)[-1]
     vals = {k: float(v) for k, v in
             re.findall(r"'(\w+)': (?:np\.float64\()?([\d.eE+-]+)", m)}
-    return {k: vals[k] for k in METRICS}, t_train
+    blended = None
+    if args.raw_channel:
+        # second eval pass: calibrate the structure-prior blend weight on
+        # the validation split (never test), then score test with it
+        out2 = run([sys.executable, "test_fast.py", "-r", best,
+                    "--prior-select", PRIOR_GRID] + dev, timeout=3600)
+        m2 = re.findall(r"\{[^{}]*'macro_mr'[^{}]*\}", out2)[-1]
+        v2 = {k: float(v) for k, v in
+              re.findall(r"'(\w+)': (?:np\.float64\()?([\d.eE+-]+)", m2)}
+        lam = re.findall(r"lam=([\d.eE+-]+)", out2)
+        blended = {k: v2[k] for k in METRICS}
+        blended["prior_lambda"] = float(lam[-1]) if lam else None
+    return {k: vals[k] for k in METRICS}, blended, t_train
 
 
 def main():
@@ -156,16 +169,19 @@ def main():
                  "--out", data, "--nodes", args.nodes, "--dim", args.dim,
                  "--max_children", args.max_children, "--seed", args.seed,
                  "--noise", noise, "--v2"])
-        model, t_train = model_metrics(
+        model, blended, t_train = model_metrics(
             args, data, os.path.join(args.workdir, f"run_n{tag}"), noise)
         struct, struct_cfg = structure_best(data)
         parent = parent_metrics(data)
-        rows.append({"noise": noise, "model": model, "structure": struct,
-                     "structure_cfg": struct_cfg, "parent": parent,
-                     "train_s": round(t_train, 1),
-                     "schedule": {"epochs": args.epochs,
-                                  "early_stop": args.early_stop,
-                                  "patience": args.patience or "config"}})
+        row = {"noise": noise, "model": model, "structure": struct,
+               "structure_cfg": struct_cfg, "parent": parent,
+               "train_s": round(t_train, 1),
+               "schedule": {"epochs": args.epochs,
+                            "early_stop": args.early_stop,
+                            "patience": args.patience or "config"}}
+        if blended is not None:
+            row["model_prior"] = blended
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
 
     lines = [
@@ -190,18 +206,25 @@ def main():
         "|---|---|" + "---|" * len(METRICS),
     ]
     for r in rows:
-        for label, key in [("**trained PGAT**", "model"),
-                           ("structure* (sweep best)", "structure"),
-                           ("simple_parent", "parent")]:
+        labels = [("**trained PGAT**", "model")]
+        if "model_prior" in r:
+            lam = r["model_prior"].get("prior_lambda")
+            labels.append((f"**PGAT + prior (lam={lam:g} on val)**",
+                           "model_prior"))
+        labels += [("structure* (sweep best)", "structure"),
+                   ("simple_parent", "parent")]
+        keys = [k for _, k in labels]
+        for label, key in labels:
             cells = []
             for m in METRICS:
                 v = r[key][m]
                 win = all(
                     (v <= r[other][m] if m == "macro_mr"
                      else v >= r[other][m])
-                    for other in ("model", "structure", "parent"))
+                    for other in keys)
                 s = f"{v:.3f}" if m != "macro_mr" else f"{v:.2f}"
-                cells.append(f"**{s}**" if win and key == "model" else s)
+                cells.append(f"**{s}**" if win and
+                             key.startswith("model") else s)
             lines.append(f"| {r['noise']} | {label} | "
                          + " | ".join(cells) + " |")
     lines += ["", "Raw rows (JSON):", "", "```"]

@@ -54,6 +54,9 @@ def main():
                    help="generator noise override")
     p.add_argument("--readout", default=None,
                    help="readout override (e.g. CR)")
+    p.add_argument("--raw-channel", dest="raw_channel", action="store_true",
+                   help="enable the raw-feature channel "
+                        "(arch.args.raw_channel)")
     p.add_argument("--negative_size", type=int, default=None)
     p.add_argument("--fve", type=int, default=1,
                    help="full-catalog validation every K epochs (0 = "
@@ -84,6 +87,8 @@ def main():
     cfg["arch"]["args"]["compute_dtype"] = "bfloat16"
     if args.readout:
         cfg["arch"]["args"]["readout_method"] = args.readout
+    if args.raw_channel:
+        cfg["arch"]["args"]["raw_channel"] = True
     if args.negative_size:
         cfg["train_data_loader"]["args"]["negative_size"] = \
             args.negative_size
@@ -196,6 +201,7 @@ def main():
         f.write(f"- config: {cfg_path} (config.mag.json shape, bf16, "
                 f"kernel=auto"
                 + (f", readout={args.readout}" if args.readout else "")
+                + (", raw_channel" if args.raw_channel else "")
                 + (f", negative_size={args.negative_size}"
                    if args.negative_size else "")
                 + (f", full-catalog validation every {args.fve} epoch(s)"

@@ -104,7 +104,8 @@ class TaxonomyRanker:
             out_shardings=self._replicated if mesh is not None else None)
         self._rank_all_jit = jax.jit(
             self._rank_all_impl,
-            static_argnames=("k", "mode1", "n_top"), **out_rep)
+            static_argnames=("k", "mode1", "n_top", "blend", "l_learned"),
+            **out_rep)
         self._infer_all_jit = jax.jit(
             self._infer_all_impl,
             static_argnames=("k", "mode1", "n_top"), **out_rep)
@@ -259,7 +260,9 @@ class TaxonomyRanker:
 
     # ---------------------------------------------------------- evaluation
     def evaluate(self, metric_names: list[str], rank_mode: int,
-                 case_study: bool = False) -> tuple[dict, list[list[str]]]:
+                 case_study: bool = False,
+                 prior_lambda: float | None = None
+                 ) -> tuple[dict, list[list[str]]]:
         """Rank every test query against its candidate set; per-query metric
         accumulation exactly as test_fast.py:116-140 (metrics averaged over
         queries).
@@ -286,7 +289,7 @@ class TaxonomyRanker:
         n_cand = len(self.candidates)
         qf, mask_pairs, pos_cols, pos_lists = self._query_prep()
         ranks_all, top5_all = self._rank_on_device(
-            qf, mask_pairs, pos_cols, rank_mode)
+            qf, mask_pairs, pos_cols, rank_mode, prior_lambda=prior_lambda)
 
         totals = np.zeros(len(metric_fns))
         cases: list[list[str]] = []
@@ -315,6 +318,37 @@ class TaxonomyRanker:
         result = {m: totals[i] / n for i, m in enumerate(metric_names)}
         result["test_topk"] = s.test_topk
         return result, cases
+
+    def select_prior_lambda(self, lambdas, rank_mode: int,
+                            select_metric: str = "combined_metrics"
+                            ) -> tuple[float, dict]:
+        """Calibrate the structure-prior blend weight on THIS ranker's split.
+
+        Sweeps `score + lam * (qf @ raw_channel.T)` over the given lambdas
+        and returns (best_lam, {lam: metric_value}) by `select_metric`
+        (macro/micro_mr and combined_metrics minimize; hit@k / mrr maximize).
+        Build the ranker on the VALIDATION split for an honest selection and
+        apply the winning lam to the test ranker — lam never sees test data.
+        lam == 0.0 is always worth including: it is the pure trained model,
+        so the selected blend can never score worse than the model on the
+        selection split. The lam axis rides one compiled executable (traced
+        scalar), so each extra lam costs one rank dispatch, not a compile.
+
+        Assumes higher-is-better model scores (rank_mode 1 — the InfoNCE/
+        bilinear convention); for rank_mode 0 pass negated lambdas."""
+        minimize = select_metric in ("macro_mr", "micro_mr",
+                                     "combined_metrics")
+        curve: dict[float, float] = {}
+        best_lam, best_val = None, None
+        for lam in lambdas:
+            res, _ = self.evaluate([select_metric], rank_mode,
+                                   prior_lambda=float(lam))
+            v = float(res[select_metric])
+            curve[float(lam)] = v
+            if best_val is None or (v < best_val if minimize
+                                    else v > best_val):
+                best_lam, best_val = float(lam), v
+        return best_lam, curve
 
     def _query_prep(self):
         """Host-side evaluate() prep — query features, masked (row, col)
@@ -380,7 +414,8 @@ class TaxonomyRanker:
 
     def _rank_on_device(self, qf: np.ndarray,
                         mask_pairs: tuple[np.ndarray, np.ndarray],
-                        pos_cols: np.ndarray, rank_mode: int
+                        pos_cols: np.ndarray, rank_mode: int,
+                        prior_lambda: float | None = None
                         ) -> tuple[np.ndarray, np.ndarray]:
         """Device ranking: returns (ranks [Q, P] int32 with rank 0 in
         invalid positive slots, top5 [Q, 5] candidate columns).
@@ -432,23 +467,39 @@ class TaxonomyRanker:
         # chunk-inner query axis sharded over 'dp' on the mesh path
         put3 = (lambda x: put_global(x, self._chunk_shard)) \
             if self._chunk_shard is not None else jax.device_put
+        blend = prior_lambda is not None
+        if blend and not getattr(self.model, "raw_channel", False):
+            raise ValueError("prior_lambda requires a raw_channel model "
+                             "(the prior rides the tail block of hg)")
         r, t = self._rank_all_jit(
             self.params, hg, unit_cand,
             put3(qf_p.reshape(n_chunks, chunk, -1)),
             put3(qunit_p.reshape(n_chunks, chunk, -1)),
             put3(pos_p.reshape(n_chunks, chunk, -1)),
             self._dev(mask_pairs[0]), self._dev(mask_pairs[1]),
-            k=k, mode1=mode1, n_top=n_top)
+            jnp.float32(prior_lambda if blend else 0.0),
+            k=k, mode1=mode1, n_top=n_top, blend=blend,
+            l_learned=self.model.readout.l_dim if blend else 0)
         ranks = np.asarray(jax.device_get(r)).reshape(
             q_pad, max_pos)[:q_total]
         top5 = np.asarray(jax.device_get(t)).reshape(q_pad, n_top)[:q_total]
         return ranks, top5
 
     def _rank_all_impl(self, params, hg, unit_cand, qf3, qunit3, pos3,
-                       mrows, mcols, *, k: int, mode1: bool, n_top: int):
+                       mrows, mcols, lam, *, k: int, mode1: bool, n_top: int,
+                       blend: bool = False, l_learned: int = 0):
         """Jit-once body of `_rank_on_device` (hoisted to __init__ so repeat
         evaluate() calls — e.g. per-epoch validation — reuse the compiled
-        executable instead of retracing a fresh closure)."""
+        executable instead of retracing a fresh closure).
+
+        `blend`/`l_learned`/`lam`: optional structure-prior blend for
+        raw-channel models (models/taxoexpan.py raw_channel=True). The tail
+        block hg[:, l_learned:] IS the raw anchor+sibling unit-mean channel
+        (appended by encode), so `qf @ rc.T` is exactly the negated
+        `simple_structure sum/b0.0` score per (query, candidate) — one extra
+        MXU matmul, no extra encode work. `lam` is a TRACED scalar: sweeping
+        the blend weight (select_prior_lambda) reuses one compiled
+        executable."""
         import jax.numpy as jnp
         from jax import lax
 
@@ -460,6 +511,11 @@ class TaxonomyRanker:
         def body(args):
             qf_c, qunit_c, pos_c, pool_c = args
             scores = self.model.match_all(params, hg, qf_c)  # [q, C]
+            if blend:
+                rc = hg[:, l_learned:].astype(jnp.float32)
+                prior = lax.dot_general(qf_c, rc,
+                                        (((1,), (1,)), ((), ())))  # [q, C]
+                scores = scores + lam * prior
             if k != -1:
                 dist = 1.0 - lax.dot_general(
                     qunit_c, unit_cand,

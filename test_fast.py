@@ -60,6 +60,23 @@ def main(config, args_outer):
         mesh = data_parallel_mesh()
         logger.info("Sharding anchor encoding over %d devices",
                     mesh.devices.size)
+    # Structure-prior blend (raw_channel models only): a fixed --prior-lambda,
+    # or --prior-select to calibrate it on the VALIDATION split first (the
+    # selected lam never sees test data; ranker.select_prior_lambda).
+    prior_lambda = args_outer.prior_lambda
+    if args_outer.prior_select:
+        lambdas = [float(x) for x in args_outer.prior_select.split(",")]
+        val_cfg = dict(config["validation_data_loader"]["args"],
+                       sampling_mode=0, max_parents=sampler.max_parents,
+                       expand_factor=sampler.expand_factor)
+        val_sampler = builders.build_sampler(taxonomy, val_cfg, "validation")
+        val_ranker = TaxonomyRanker(model, params, val_sampler,
+                                    val_sampler.node_features,
+                                    encode_chunk=encode_chunk, mesh=mesh)
+        prior_lambda, curve = val_ranker.select_prior_lambda(
+            lambdas, rank_mode, select_metric=args_outer.prior_metric)
+        logger.info("prior-blend selection on validation (%s): %s -> "
+                    "lam=%.4g", args_outer.prior_metric, curve, prior_lambda)
     ranker = TaxonomyRanker(model, params, sampler,
                             sampler.node_features,
                             encode_chunk=encode_chunk, mesh=mesh)
@@ -67,7 +84,8 @@ def main(config, args_outer):
     ranker.encode_all_anchors()
     t_encode = time.time()
     result, cases = ranker.evaluate(config["metrics"], rank_mode,
-                                    case_study=need_case_study)
+                                    case_study=need_case_study,
+                                    prior_lambda=prior_lambda)
     logger.info(
         "stage timing: data+sampler %.1fs, checkpoint %.1fs, encode %.1fs, "
         "rank %.1fs", t_data - t0, t_ckpt - t_data, t_encode - t_ckpt,
@@ -97,6 +115,18 @@ if __name__ == "__main__":
                            "(use e.g. 30000 for MAG-Full scale)")
     args.add_argument("-c", "--case", default="", type=str,
                       help="case study output TSV ('' = disabled)")
+    args.add_argument("--prior-lambda", dest="prior_lambda", default=None,
+                      type=float,
+                      help="structure-prior blend weight (raw_channel "
+                           "models; score + lam * raw-channel dot)")
+    args.add_argument("--prior-select", dest="prior_select", default="",
+                      type=str,
+                      help="comma-separated lam grid; calibrates the blend "
+                           "on the validation split, then evaluates test "
+                           "with the winner (e.g. '0,0.25,1,4')")
+    args.add_argument("--prior-metric", dest="prior_metric",
+                      default="combined_metrics", type=str,
+                      help="selection metric for --prior-select")
     args.add_argument("-m", "--mesh", action="store_true",
                       help="shard anchor encoding over all devices "
                            "(data-parallel evaluation mesh)")

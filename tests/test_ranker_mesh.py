@@ -105,3 +105,28 @@ def test_sharded_predict_parents_matches_single():
                              encode_chunk=64, query_chunk=16, mesh=mesh)
     assert single.predict_parents(nf, 1, topk=5) == \
         sharded.predict_parents(nf, 1, topk=5)
+
+
+def test_sharded_prior_blend_matches_single():
+    """Structure-prior blend on the mesh path: lam is a replicated traced
+    scalar, hg stays replicated — metrics must match single-device."""
+    taxo = synthetic_taxonomy(num_nodes=300, dim=16, seed=9)
+    sampler = builders.build_sampler(taxo, CFG, "test")
+    arch_rc = {"args": dict(ARCH["args"], readout_method="CR",
+                            raw_channel=True)}
+    model = builders.build_model(arch_rc, max_parents=sampler.max_parents,
+                                 expand_factor=sampler.expand_factor)
+    params = model.init(jax.random.PRNGKey(0))
+    single = TaxonomyRanker(model, params, sampler, sampler.node_features,
+                            encode_chunk=64, query_chunk=16)
+    res_single, _ = single.evaluate(["macro_mr", "hit_at_1"], 1,
+                                    prior_lambda=0.7)
+    mesh = data_parallel_mesh()
+    sharded = TaxonomyRanker(model, params, sampler, sampler.node_features,
+                             encode_chunk=64, query_chunk=16, mesh=mesh)
+    res_sharded, _ = sharded.evaluate(["macro_mr", "hit_at_1"], 1,
+                                      prior_lambda=0.7)
+    np.testing.assert_allclose(res_sharded["macro_mr"],
+                               res_single["macro_mr"], rtol=1e-5)
+    np.testing.assert_allclose(res_sharded["hit_at_1"],
+                               res_single["hit_at_1"], rtol=1e-5)

@@ -12,6 +12,7 @@ framework's lever for the mid-noise regime of artifacts/DIFFICULTY_CURVE.md.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from taxoexpan_tpu import builders
 from taxoexpan_tpu.data import GroupBatchLoader, MaskedGraphSampler
@@ -140,6 +141,57 @@ def test_structure_prior_init(tiny_taxonomy):
     assert np.all(np.abs(off) <= bound)
     # learned-summary rows untouched
     assert np.all(np.abs(w[:l_learned]) <= bound)
+
+
+def test_prior_blend_semantics(tiny_taxonomy):
+    """Ranker structure-prior blend: lam=0 == no blend; lam -> inf == ranking
+    by the prior alone (== a matcher whose weight is the bare identity
+    block); selection helper returns the grid's best by the chosen metric;
+    non-raw-channel models are rejected."""
+    from taxoexpan_tpu.evaluation.ranker import TaxonomyRanker
+    sampler = MaskedGraphSampler(tiny_taxonomy, mode="test", sampling_mode=0,
+                                 negative_size=7, expand_factor=6)
+    model = builders.build_model(ARCH, max_parents=sampler.max_parents,
+                                 expand_factor=sampler.expand_factor)
+    params = model.init(jax.random.PRNGKey(0))
+    metrics = ["macro_mr", "hit_at_1", "mrr_scaled_10"]
+    ranker = TaxonomyRanker(model, params, sampler, sampler.node_features,
+                            encode_chunk=64, query_chunk=32)
+    base, _ = ranker.evaluate(metrics, 1)
+    lam0, _ = ranker.evaluate(metrics, 1, prior_lambda=0.0)
+    for m in metrics:
+        assert float(base[m]) == float(lam0[m])
+
+    # lam -> inf == prior-only ranking == bare identity-block matcher
+    inf_blend, _ = ranker.evaluate(metrics, 1, prior_lambda=1e9)
+    params_id = jax.tree_util.tree_map(lambda x: x, params)
+    w = np.zeros(np.asarray(params["match"]["w"]).shape, np.float32)
+    w[model.readout.l_dim:] = np.eye(model.in_dim, dtype=np.float32)
+    params_id = dict(params, match={"w": jnp.asarray(w)})
+    ranker_id = TaxonomyRanker(model, params_id, sampler,
+                               sampler.node_features,
+                               encode_chunk=64, query_chunk=32)
+    prior_only, _ = ranker_id.evaluate(metrics, 1)
+    for m in metrics:
+        np.testing.assert_allclose(float(inf_blend[m]), float(prior_only[m]),
+                                   rtol=1e-6)
+
+    lam_best, curve = ranker.select_prior_lambda([0.0, 0.5, 1e9], 1,
+                                                 select_metric="macro_mr")
+    assert set(curve) == {0.0, 0.5, 1e9}
+    assert curve[lam_best] == min(curve.values())
+    assert curve[lam_best] <= curve[0.0]   # never worse than the pure model
+
+    arch_off = {"args": dict(ARCH["args"], raw_channel=False)}
+    model_off = builders.build_model(arch_off,
+                                     max_parents=sampler.max_parents,
+                                     expand_factor=sampler.expand_factor)
+    ranker_off = TaxonomyRanker(model_off,
+                                model_off.init(jax.random.PRNGKey(0)),
+                                sampler, sampler.node_features,
+                                encode_chunk=64, query_chunk=32)
+    with pytest.raises(ValueError, match="raw_channel"):
+        ranker_off.evaluate(metrics, 1, prior_lambda=0.5)
 
 
 def test_raw_channel_trains_and_evaluates(tiny_taxonomy, tmp_path):
