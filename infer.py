@@ -85,7 +85,8 @@ def main(config, args_outer):
     ranker = TaxonomyRanker(model, params, sampler, sampler.node_features,
                             encode_chunk=encode_chunk, anchors=anchors,
                             mesh=mesh)
-    predictions = ranker.predict_parents(nf, rank_mode, topk=5)
+    predictions = ranker.predict_parents(
+        nf, rank_mode, topk=5, prior_lambda=args_outer.prior_lambda)
 
     if jax.process_index() == 0:
         # multi-process: predictions are replicated, one process owns disk
@@ -111,6 +112,11 @@ if __name__ == "__main__":
     args.add_argument("-m", "--mesh", action="store_true",
                       help="shard anchor encoding over all devices "
                            "(data-parallel evaluation mesh)")
+    args.add_argument("--prior-lambda", dest="prior_lambda", default=None,
+                      type=float,
+                      help="structure-prior blend weight (raw_channel "
+                           "models; calibrate with test_fast.py "
+                           "--prior-select first)")
     args.add_argument("--sum_norm", action="store_true",
                       help="normalize novel embeddings by row sum "
                            "(reference bug-compatible mode)")

@@ -108,7 +108,8 @@ class TaxonomyRanker:
             **out_rep)
         self._infer_all_jit = jax.jit(
             self._infer_all_impl,
-            static_argnames=("k", "mode1", "n_top"), **out_rep)
+            static_argnames=("k", "mode1", "n_top", "blend", "l_learned"),
+            **out_rep)
 
 
     def refresh(self, params) -> None:
@@ -573,7 +574,9 @@ class TaxonomyRanker:
 
     # --------------------------------------------------------------- infer
     def predict_parents(self, query_feats: np.ndarray, rank_mode: int,
-                        topk: int = 5) -> list[list[int]]:
+                        topk: int = 5,
+                        prior_lambda: float | None = None
+                        ) -> list[list[int]]:
         """Top-k candidate parents per novel query (infer.py:94-106).
 
         When the sampler carries `test_topk > 0`, candidates are first
@@ -617,26 +620,38 @@ class TaxonomyRanker:
 
         put3 = (lambda x: put_global(x, self._chunk_shard)) \
             if self._chunk_shard is not None else jax.device_put
+        blend = prior_lambda is not None
+        if blend and not getattr(self.model, "raw_channel", False):
+            raise ValueError("prior_lambda requires a raw_channel model "
+                             "(the prior rides the tail block of hg)")
         out = self._infer_all_jit(
             self.params, hg, unit_cand,
             put3(qf_p.reshape(n_chunks, chunk, -1)),
             put3(qunit_p.reshape(n_chunks, chunk, -1)),
-            k=k, mode1=mode1, n_top=n_top)
+            jnp.float32(prior_lambda if blend else 0.0),
+            k=k, mode1=mode1, n_top=n_top, blend=blend,
+            l_learned=self.model.readout.l_dim if blend else 0)
         idx = np.asarray(jax.device_get(out)).reshape(
             q_pad, n_top)[:q.shape[0]]
         return [[self.candidates[i] for i in row] for row in idx]
 
-    def _infer_all_impl(self, params, hg, unit_cand, qf3, qunit3, *,
-                        k: int, mode1: bool, n_top: int):
+    def _infer_all_impl(self, params, hg, unit_cand, qf3, qunit3, lam, *,
+                        k: int, mode1: bool, n_top: int,
+                        blend: bool = False, l_learned: int = 0):
         """Jit-once body of `predict_parents` (hoisted like _rank_all_impl —
         one dispatch: lax.map over query chunks; relay round trips dominate
-        infer wall-clock, same as _rank_on_device)."""
+        infer wall-clock, same as _rank_on_device). blend/l_learned/lam:
+        structure-prior blend, same semantics as _rank_all_impl."""
         import jax.numpy as jnp
         from jax import lax
 
         def body(args):
             qf_c, qunit_c = args
             scores = self.model.match_all(params, hg, qf_c)
+            if blend:
+                rc = hg[:, l_learned:].astype(jnp.float32)
+                scores = scores + lam * lax.dot_general(
+                    qf_c, rc, (((1,), (1,)), ((), ())))
             if k != -1:
                 dist = 1.0 - lax.dot_general(
                     qunit_c, unit_cand, (((1,), (1,)), ((), ())),

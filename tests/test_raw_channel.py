@@ -176,6 +176,11 @@ def test_prior_blend_semantics(tiny_taxonomy):
         np.testing.assert_allclose(float(inf_blend[m]), float(prior_only[m]),
                                    rtol=1e-6)
 
+    # infer path: lam -> inf top-5 == the identity-block matcher's top-5
+    qf = sampler.node_features[np.asarray(sampler.node_list[:8])]
+    assert ranker.predict_parents(qf, 1, topk=5, prior_lambda=1e9) == \
+        ranker_id.predict_parents(qf, 1, topk=5)
+
     lam_best, curve = ranker.select_prior_lambda([0.0, 0.5, 1e9], 1,
                                                  select_metric="macro_mr")
     assert set(curve) == {0.0, 0.5, 1e9}
